@@ -1,0 +1,12 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
+tests exercise real multi-chip layouts without TPU hardware."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REFERENCE_TEST_DATA = "/root/reference/test_data"
