@@ -1,0 +1,445 @@
+// vbz_native — native C++ runtime codec for the TPU-native VBZ framework.
+//
+// A from-scratch scalar implementation of the VBZ pipeline with the exact
+// C ABI of the reference library (reference: vbz/vbz.h:56-141). It backs the
+// HDF5 filter plugin (vbz_plugin.cpp) and serves as the single-core CPU
+// baseline the TPU data plane is benchmarked against.
+//
+// Wire-format semantics mirror the reference (see SURVEY.md §2 and the
+// Python oracle vbz_compression_tpu/ops/scalar.py):
+//   v0: classic StreamVByte — (count+3)/4 key bytes, 2-bit codes, code c →
+//       c+1 little-endian data bytes (reference: vbz/v0/).
+//   v1: half-byte codes for integer_size==1 — 0 bytes / 1 nibble / 1 byte /
+//       2 bytes, nibble-packed data (reference: vbz/v1/vbz_streamvbyte_impl.h);
+//       widths 2 and 4 delegate to v0 (vbz/v1/vbz_streamvbyte.cpp:46-61).
+//   delta/zig-zag width semantics: 16-bit wraparound for int16 (the SSE
+//   kernel semantics, vbz/v0/vbz_streamvbyte_impl_sse3.h:431-440); 32-bit
+//   for int8/int32 (generic path, vbz/v0/vbz_streamvbyte_impl.h:32-34).
+//
+// This file is an independent implementation: structured around flat
+// encode/decode loops over a uint32 value buffer, not the reference's
+// template-worker design.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+#include <zstd.h>
+
+#include "vbz_native.h"
+
+namespace {
+
+constexpr vbz_size_t kSizedHeaderBytes = 4;
+
+bool valid_integer_size(const CompressionOptions* o) {
+    unsigned s = o->integer_size;
+    return s == 0 || s == 1 || s == 2 || s == 4;
+}
+
+vbz_size_t svb_bound(vbz_size_t count) {
+    return (count + 3) / 4 + count * 4u;
+}
+
+// ---------------------------------------------------------------------------
+// Transforms: input bytes -> uint32 value stream (and back)
+// ---------------------------------------------------------------------------
+
+void values_from_input(const uint8_t* src, vbz_size_t count,
+                       unsigned integer_size, bool zigzag,
+                       std::vector<uint32_t>& out) {
+    out.resize(count);
+    if (integer_size == 2 && zigzag) {
+        // 16-bit wraparound deltas + 16-bit zig-zag.
+        uint16_t prev = 0;
+        for (vbz_size_t i = 0; i < count; ++i) {
+            uint16_t cur;
+            std::memcpy(&cur, src + 2 * i, 2);
+            uint16_t delta = static_cast<uint16_t>(cur - prev);
+            prev = cur;
+            int16_t sd;
+            std::memcpy(&sd, &delta, 2);
+            out[i] = static_cast<uint16_t>((delta << 1) ^
+                                           static_cast<uint16_t>(sd >> 15));
+        }
+        return;
+    }
+    // Widen to int32 then 32-bit delta/zig-zag (or plain widen).
+    auto load = [&](vbz_size_t i) -> int32_t {
+        switch (integer_size) {
+            case 1: return static_cast<int8_t>(src[i]);
+            case 2: { int16_t v; std::memcpy(&v, src + 2 * i, 2); return v; }
+            default: { int32_t v; std::memcpy(&v, src + 4 * i, 4); return v; }
+        }
+    };
+    if (!zigzag) {
+        for (vbz_size_t i = 0; i < count; ++i)
+            out[i] = static_cast<uint32_t>(load(i));
+        return;
+    }
+    int32_t prev = 0;
+    for (vbz_size_t i = 0; i < count; ++i) {
+        int32_t cur = load(i);
+        uint32_t delta = static_cast<uint32_t>(cur) - static_cast<uint32_t>(prev);
+        prev = cur;
+        int32_t sd;
+        std::memcpy(&sd, &delta, 4);
+        out[i] = (delta << 1) ^ static_cast<uint32_t>(sd >> 31);
+    }
+}
+
+void values_to_output(const uint32_t* values, vbz_size_t count,
+                      unsigned integer_size, bool zigzag, uint8_t* dst) {
+    if (integer_size == 2 && zigzag) {
+        // Truncate-first un-zig-zag + 16-bit wraparound prefix sum
+        // (SSE decoder semantics).
+        uint16_t acc = 0;
+        for (vbz_size_t i = 0; i < count; ++i) {
+            uint16_t v = static_cast<uint16_t>(values[i]);
+            uint16_t delta = static_cast<uint16_t>(
+                (v >> 1) ^ static_cast<uint16_t>(-(v & 1u)));
+            acc = static_cast<uint16_t>(acc + delta);
+            std::memcpy(dst + 2 * i, &acc, 2);
+        }
+        return;
+    }
+    auto store = [&](vbz_size_t i, uint32_t v) {
+        switch (integer_size) {
+            case 1: dst[i] = static_cast<uint8_t>(v); break;
+            case 2: { uint16_t t = static_cast<uint16_t>(v);
+                      std::memcpy(dst + 2 * i, &t, 2); break; }
+            default: std::memcpy(dst + 4 * i, &v, 4); break;
+        }
+    };
+    if (!zigzag) {
+        for (vbz_size_t i = 0; i < count; ++i) store(i, values[i]);
+        return;
+    }
+    uint32_t acc = 0;
+    for (vbz_size_t i = 0; i < count; ++i) {
+        uint32_t v = values[i];
+        uint32_t delta = (v >> 1) ^ (~(v & 1u) + 1u);
+        acc += delta;
+        store(i, acc);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// v0 StreamVByte packing
+// ---------------------------------------------------------------------------
+
+vbz_size_t svb0_encode(const uint32_t* values, vbz_size_t count,
+                       uint8_t* dst, vbz_size_t capacity) {
+    if (count == 0) return 0;
+    vbz_size_t key_len = (count + 3) / 4;
+    if (capacity < key_len) return VBZ_DESTINATION_SIZE_ERROR;
+    uint8_t* keys = dst;
+    uint8_t* data = dst + key_len;
+    uint8_t* const end = dst + capacity;
+    std::memset(keys, 0, key_len);
+    for (vbz_size_t i = 0; i < count; ++i) {
+        uint32_t v = values[i];
+        unsigned code = (v > 0xFFu) + (v > 0xFFFFu) + (v > 0xFFFFFFu);
+        keys[i >> 2] |= static_cast<uint8_t>(code << ((i & 3) * 2));
+        if (data + code + 1 > end) return VBZ_DESTINATION_SIZE_ERROR;
+        // Little-endian low bytes.
+        for (unsigned b = 0; b <= code; ++b)
+            *data++ = static_cast<uint8_t>(v >> (8 * b));
+    }
+    return static_cast<vbz_size_t>(data - dst);
+}
+
+vbz_size_t svb0_decode(const uint8_t* src, vbz_size_t src_size,
+                       uint32_t* values, vbz_size_t count) {
+    if (count == 0 || src_size == 0)
+        return (count == src_size) ? 0 : VBZ_STREAMVBYTE_STREAM_ERROR;
+    vbz_size_t key_len = (count + 3) / 4;
+    if (key_len > src_size) return VBZ_STREAMVBYTE_STREAM_ERROR;
+    const uint8_t* keys = src;
+    const uint8_t* data = src + key_len;
+    const uint8_t* const end = src + src_size;
+    for (vbz_size_t i = 0; i < count; ++i) {
+        unsigned code = (keys[i >> 2] >> ((i & 3) * 2)) & 3u;
+        if (data + code + 1 > end) return VBZ_STREAMVBYTE_STREAM_ERROR;
+        uint32_t v = 0;
+        for (unsigned b = 0; b <= code; ++b)
+            v |= static_cast<uint32_t>(*data++) << (8 * b);
+        values[i] = v;
+    }
+    if (data != end) return VBZ_STREAMVBYTE_STREAM_ERROR;
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// v1 half-byte packing (integer_size == 1 only)
+// ---------------------------------------------------------------------------
+
+struct NibbleWriter {
+    uint8_t* p;
+    bool half = false;  // low nibble already written in *p
+    void put(uint8_t nib) {
+        if (half) { *p |= static_cast<uint8_t>(nib << 4); ++p; half = false; }
+        else      { *p = nib; half = true; }
+    }
+    uint8_t* finish() { return half ? p + 1 : p; }
+};
+
+struct NibbleReader {
+    const uint8_t* p;
+    bool half = false;
+    uint8_t get() {
+        uint8_t v;
+        if (half) { v = *p >> 4; ++p; half = false; }
+        else      { v = *p & 0xF; half = true; }
+        return v;
+    }
+    const uint8_t* finish() const { return half ? p + 1 : p; }
+};
+
+vbz_size_t svb1_encode(const uint32_t* values, vbz_size_t count,
+                       uint8_t* dst, vbz_size_t capacity) {
+    if (count == 0) return 0;
+    vbz_size_t key_len = (count + 3) / 4;
+    if (capacity < key_len) return VBZ_DESTINATION_SIZE_ERROR;
+    uint8_t* keys = dst;
+    std::memset(keys, 0, key_len);
+    NibbleWriter w{dst + key_len};
+    for (vbz_size_t i = 0; i < count; ++i) {
+        uint32_t v = values[i];
+        unsigned code;
+        if (v == 0) code = 0;
+        else if (v < 16) { code = 1; w.put(v & 0xF); }
+        else if (v < 256) { code = 2; w.put(v & 0xF); w.put((v >> 4) & 0xF); }
+        else { code = 3; for (int k = 0; k < 4; ++k) w.put((v >> (4 * k)) & 0xF); }
+        keys[i >> 2] |= static_cast<uint8_t>(code << ((i & 3) * 2));
+    }
+    return static_cast<vbz_size_t>(w.finish() - dst);
+}
+
+vbz_size_t svb1_decode(const uint8_t* src, vbz_size_t src_size,
+                       uint32_t* values, vbz_size_t count) {
+    if (count == 0 || src_size == 0)
+        return (count == src_size) ? 0 : VBZ_STREAMVBYTE_STREAM_ERROR;
+    vbz_size_t key_len = (count + 3) / 4;
+    if (key_len > src_size) return VBZ_STREAMVBYTE_STREAM_ERROR;
+    // Validate: accumulate nibble sizes (reference: v1/impl.h:183-216).
+    uint64_t nibbles = 0;
+    for (vbz_size_t i = 0; i < count; ++i) {
+        unsigned code = (src[i >> 2] >> ((i & 3) * 2)) & 3u;
+        nibbles += (1u << code) >> 1;
+    }
+    if ((nibbles + 1) / 2 != src_size - key_len)
+        return VBZ_STREAMVBYTE_STREAM_ERROR;
+    NibbleReader r{src + key_len};
+    for (vbz_size_t i = 0; i < count; ++i) {
+        unsigned code = (src[i >> 2] >> ((i & 3) * 2)) & 3u;
+        uint32_t v = 0;
+        unsigned n = (1u << code) >> 1;
+        for (unsigned k = 0; k < n; ++k)
+            v |= static_cast<uint32_t>(r.get()) << (4 * k);
+        values[i] = v;
+    }
+    return count;
+}
+
+// ---------------------------------------------------------------------------
+// StreamVByte stage dispatch
+// ---------------------------------------------------------------------------
+
+vbz_size_t svb_stage_compress(const uint8_t* src, vbz_size_t src_size,
+                              uint8_t* dst, vbz_size_t capacity,
+                              const CompressionOptions* o) {
+    if (src_size % o->integer_size != 0) return VBZ_INPUT_SIZE_ERROR;
+    vbz_size_t count = src_size / o->integer_size;
+    std::vector<uint32_t> values;
+    values_from_input(src, count, o->integer_size,
+                      o->perform_delta_zig_zag, values);
+    if (o->vbz_version == 1 && o->integer_size == 1)
+        return svb1_encode(values.data(), count, dst, capacity);
+    return svb0_encode(values.data(), count, dst, capacity);
+}
+
+vbz_size_t svb_stage_decompress(const uint8_t* src, vbz_size_t src_size,
+                                uint8_t* dst, vbz_size_t dst_size,
+                                const CompressionOptions* o) {
+    if (dst_size % o->integer_size != 0) return VBZ_DESTINATION_SIZE_ERROR;
+    vbz_size_t count = dst_size / o->integer_size;
+    std::vector<uint32_t> values(count);
+    vbz_size_t r = (o->vbz_version == 1 && o->integer_size == 1)
+        ? svb1_decode(src, src_size, values.data(), count)
+        : svb0_decode(src, src_size, values.data(), count);
+    if (vbz_is_error(r)) return r;
+    values_to_output(values.data(), count, o->integer_size,
+                     o->perform_delta_zig_zag, dst);
+    return dst_size;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Public C ABI (mirrors vbz/vbz.h)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+bool vbz_is_error(vbz_size_t v) { return v >= VBZ_FIRST_ERROR; }
+
+const char* vbz_error_string(vbz_size_t e) {
+    switch (e) {
+        case VBZ_ZSTD_ERROR: return "VBZ_ZSTD_ERROR";
+        case VBZ_INPUT_SIZE_ERROR: return "VBZ_INPUT_SIZE_ERROR";
+        case VBZ_INTEGER_SIZE_ERROR: return "VBZ_INTEGER_SIZE_ERROR";
+        case VBZ_DESTINATION_SIZE_ERROR: return "VBZ_DESTINATION_SIZE_ERROR";
+        case VBZ_STREAMVBYTE_STREAM_ERROR: return "VBZ_STREAMVBYTE_STREAM_ERROR";
+        case VBZ_VERSION_ERROR: return "VBZ_VERSION_ERROR";
+        case VBZ_OUT_OF_MEMORY_ERROR: return "VBZ_OUT_OF_MEMORY_ERROR";
+        default: return "VBZ_UNKNOWN_ERROR";
+    }
+}
+
+vbz_size_t vbz_max_compressed_size(vbz_size_t source_size,
+                                   const CompressionOptions* options) {
+    if (!valid_integer_size(options)) return VBZ_INTEGER_SIZE_ERROR;
+    vbz_size_t max_size = source_size;
+    if (options->integer_size != 0) {
+        if (options->vbz_version > 1) return VBZ_VERSION_ERROR;
+        if (source_size % options->integer_size != 0)
+            return VBZ_INPUT_SIZE_ERROR;
+        max_size = svb_bound(source_size / options->integer_size);
+    }
+    if (options->zstd_compression_level != 0)
+        max_size = static_cast<vbz_size_t>(ZSTD_compressBound(max_size));
+    return max_size + kSizedHeaderBytes;
+}
+
+vbz_size_t vbz_compress(const void* source, vbz_size_t source_size,
+                        void* destination, vbz_size_t destination_capacity,
+                        const CompressionOptions* options) {
+    if (!valid_integer_size(options)) return VBZ_INTEGER_SIZE_ERROR;
+    const uint8_t* src = static_cast<const uint8_t*>(source);
+    uint8_t* dst = static_cast<uint8_t*>(destination);
+
+    if (options->zstd_compression_level == 0 && options->integer_size == 0) {
+        if (source_size > destination_capacity)
+            return VBZ_DESTINATION_SIZE_ERROR;
+        std::memcpy(dst, src, source_size);
+        return source_size;
+    }
+
+    std::vector<uint8_t> intermediate;
+    const uint8_t* cur = src;
+    vbz_size_t cur_size = source_size;
+
+    if (options->integer_size != 0) {
+        if (options->vbz_version > 1) return VBZ_VERSION_ERROR;
+        if (source_size % options->integer_size != 0)
+            return VBZ_INPUT_SIZE_ERROR;
+        vbz_size_t bound = svb_bound(source_size / options->integer_size);
+        uint8_t* stage_dst = dst;
+        vbz_size_t stage_cap = destination_capacity;
+        if (options->zstd_compression_level != 0) {
+            intermediate.resize(bound);
+            stage_dst = intermediate.data();
+            stage_cap = bound;
+        } else if (bound > destination_capacity) {
+            return VBZ_DESTINATION_SIZE_ERROR;
+        }
+        vbz_size_t r = svb_stage_compress(src, source_size, stage_dst,
+                                          stage_cap, options);
+        if (vbz_is_error(r)) return r;
+        cur = stage_dst;
+        cur_size = r;
+    }
+
+    if (options->zstd_compression_level == 0) return cur_size;
+
+    size_t z = ZSTD_compress(dst, destination_capacity, cur, cur_size,
+                             static_cast<int>(options->zstd_compression_level));
+    if (ZSTD_isError(z)) return VBZ_ZSTD_ERROR;
+    return static_cast<vbz_size_t>(z);
+}
+
+vbz_size_t vbz_decompress(const void* source, vbz_size_t source_size,
+                          void* destination, vbz_size_t destination_size,
+                          const CompressionOptions* options) {
+    if (!valid_integer_size(options)) return VBZ_INTEGER_SIZE_ERROR;
+    const uint8_t* src = static_cast<const uint8_t*>(source);
+    uint8_t* dst = static_cast<uint8_t*>(destination);
+
+    if (options->zstd_compression_level == 0 && options->integer_size == 0) {
+        if (source_size > destination_size) return VBZ_DESTINATION_SIZE_ERROR;
+        std::memcpy(dst, src, source_size);
+        return source_size;
+    }
+
+    std::vector<uint8_t> intermediate;
+    const uint8_t* cur = src;
+    vbz_size_t cur_size = source_size;
+
+    if (options->zstd_compression_level != 0) {
+        unsigned long long content =
+            ZSTD_getFrameContentSize(src, source_size);
+        if (content == ZSTD_CONTENTSIZE_ERROR ||
+            content == ZSTD_CONTENTSIZE_UNKNOWN)
+            return VBZ_ZSTD_ERROR;
+        uint8_t* zdst = dst;
+        size_t zcap = destination_size;
+        if (options->integer_size != 0) {
+            intermediate.resize(content);
+            zdst = intermediate.data();
+            zcap = content;
+        } else if (content > destination_size) {
+            return VBZ_DESTINATION_SIZE_ERROR;
+        }
+        size_t z = ZSTD_decompress(zdst, zcap, src, source_size);
+        if (ZSTD_isError(z)) return VBZ_ZSTD_ERROR;
+        cur = zdst;
+        cur_size = static_cast<vbz_size_t>(z);
+    }
+
+    if (options->integer_size == 0) return cur_size;
+    if (options->vbz_version > 1) return VBZ_VERSION_ERROR;
+    return svb_stage_decompress(cur, cur_size, dst, destination_size, options);
+}
+
+vbz_size_t vbz_compress_sized(const void* source, vbz_size_t source_size,
+                              void* destination,
+                              vbz_size_t destination_capacity,
+                              const CompressionOptions* options) {
+    if (!valid_integer_size(options)) return VBZ_INTEGER_SIZE_ERROR;
+    if (destination_capacity < kSizedHeaderBytes)
+        return VBZ_DESTINATION_SIZE_ERROR;
+    uint8_t* dst = static_cast<uint8_t*>(destination);
+    uint32_t sz = source_size;  // little-endian store
+    std::memcpy(dst, &sz, kSizedHeaderBytes);
+    vbz_size_t r = vbz_compress(source, source_size, dst + kSizedHeaderBytes,
+                                destination_capacity - kSizedHeaderBytes,
+                                options);
+    if (vbz_is_error(r)) return r;
+    return r + kSizedHeaderBytes;
+}
+
+vbz_size_t vbz_decompressed_size(const void* source, vbz_size_t source_size,
+                                 const CompressionOptions* options) {
+    if (!valid_integer_size(options)) return VBZ_INTEGER_SIZE_ERROR;
+    if (source_size < kSizedHeaderBytes) return VBZ_INPUT_SIZE_ERROR;
+    uint32_t sz;
+    std::memcpy(&sz, source, kSizedHeaderBytes);
+    return sz;
+}
+
+vbz_size_t vbz_decompress_sized(const void* source, vbz_size_t source_size,
+                                void* destination,
+                                vbz_size_t destination_capacity,
+                                const CompressionOptions* options) {
+    vbz_size_t sz = vbz_decompressed_size(source, source_size, options);
+    if (vbz_is_error(sz)) return sz;
+    if (destination_capacity < sz) return VBZ_DESTINATION_SIZE_ERROR;
+    const uint8_t* src = static_cast<const uint8_t*>(source);
+    return vbz_decompress(src + kSizedHeaderBytes,
+                          source_size - kSizedHeaderBytes, destination, sz,
+                          options);
+}
+
+}  // extern "C"

@@ -1,0 +1,88 @@
+"""Cross-check the JAX/XLA data plane against the NumPy oracle — bit-exact
+stream equality, not just round-trip."""
+
+import numpy as np
+import pytest
+
+from vbz_compression_tpu import CompressionOptions, VbzError, api
+from vbz_compression_tpu.models.codec import jax_backend
+from vbz_compression_tpu.ops import scalar
+
+DTYPES = [np.int8, np.int16, np.int32, np.uint8, np.uint16, np.uint32]
+
+
+def _random(dtype, size, seed=0):
+    rng = np.random.default_rng(seed)
+    info = np.iinfo(dtype)
+    return rng.integers(info.min, info.max + 1, size=size, dtype=dtype)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_encode_bit_exact_vs_oracle(dtype, zigzag):
+    data = _random(dtype, 10_000)
+    size = data.dtype.itemsize
+    ours = jax_backend.svb_compress(data, size, zigzag, 0)
+    ref = scalar.svb_compress(data, size, zigzag, 0)
+    assert ours == ref
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_decode_bit_exact_vs_oracle(dtype, zigzag):
+    data = _random(dtype, 10_000, seed=5)
+    size = data.dtype.itemsize
+    stream = scalar.svb_compress(data, size, zigzag, 0)
+    ours = jax_backend.svb_decompress(stream, data.size, size, zigzag, 0)
+    np.testing.assert_array_equal(ours.view(dtype), data)
+
+
+@pytest.mark.parametrize("n", [0, 1, 3, 4, 5, 7, 8, 4095, 4096, 4097])
+def test_ragged_sizes_int16(n):
+    data = _random(np.int16, n, seed=n)
+    ours = jax_backend.svb_compress(data, 2, True, 0)
+    ref = scalar.svb_compress(data, 2, True, 0)
+    assert ours == ref
+    rt = jax_backend.svb_decompress(ours, n, 2, True, 0)
+    np.testing.assert_array_equal(rt, data)
+
+
+def test_wraparound_boundary_int16():
+    data = np.array([-32768, 32767, -32768, 32767, 0, 32767, -32768],
+                    dtype=np.int16)
+    assert (jax_backend.svb_compress(data, 2, True, 0)
+            == scalar.svb_compress(data, 2, True, 0))
+
+
+def test_malformed_stream_raises():
+    with pytest.raises(VbzError):
+        jax_backend.svb_decompress(b"\x00\x01\x02\x03\x04\x05", 4, 2, True, 0)
+
+
+def test_api_pipeline_with_jax_backend():
+    sig = _random(np.int16, 123_456, seed=9)
+    opts = CompressionOptions(True, 2, 1, 0)
+    ours = api.vbz_compress_sized(sig, opts, backend=jax_backend)
+    ref = api.vbz_compress_sized(sig, opts, backend=scalar)
+    assert ours == ref
+    rt = api.vbz_decompress_sized(ours, opts, backend=jax_backend)
+    np.testing.assert_array_equal(np.frombuffer(rt, np.int16), sig)
+
+
+def test_fast5_corpus_jax_backend():
+    import os
+    from vbz_compression_tpu.utils import hdf5_chunks
+    td = "/root/reference/test_data"
+    if not os.path.isdir(td):
+        pytest.skip("reference test_data not mounted")
+    gz = hdf5_chunks.read_gzip_signals(os.path.join(td, "multi_fast5_zip.fast5"))
+    n = 0
+    for name, opts, chunk, _ in hdf5_chunks.iter_vbz_signal_chunks(
+            os.path.join(td, "multi_fast5_vbz.fast5")):
+        out = api.vbz_decompress_sized(chunk, opts, backend=jax_backend)
+        np.testing.assert_array_equal(np.frombuffer(out, np.int16), gz[name])
+        ours = api.vbz_compress_sized(gz[name], opts, backend=jax_backend)
+        ref = api.vbz_compress_sized(gz[name], opts, backend=scalar)
+        assert ours == ref
+        n += 1
+    assert n == 10
