@@ -1,0 +1,99 @@
+"""fast5 re-compression CLI — the framework's counterpart of the reference
+demo tool (reference: ``python/fast5compress/fast5vbz.py:17-74``).
+
+Copies a fast5 file and rewrites every ``read_*/Raw/Signal`` dataset with the
+vbz filter (one chunk per read), or back to gzip with ``-d``. Unlike the
+reference tool this does not require the HDF5 filter plugin for *reading*
+vbz inputs — raw chunks are decoded by the framework codec — and can batch
+the encode work onto TPU via the JAX backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+
+import numpy as np
+
+from .. import api
+from ..options import CompressionOptions
+from ..utils import hdf5_chunks
+
+
+def _read_signal(dset):
+    """Read a signal dataset, decoding vbz chunks manually when the filter
+    plugin is not loaded."""
+    opts = hdf5_chunks.dataset_vbz_options(dset)
+    if opts is None:
+        return dset[...]
+    chunks = hdf5_chunks.read_raw_chunks(dset)
+    parts = [
+        np.frombuffer(api.vbz_decompress_sized(data, opts), np.int16)
+        for _off, data in chunks
+    ]
+    return np.concatenate(parts) if len(parts) != 1 else parts[0]
+
+
+def compress_fast5(input_path: str, output_path: str, *, decompress: bool,
+                   vbz_version: int, zstd_level: int, backend) -> None:
+    import h5py
+
+    shutil.copyfile(input_path, output_path)
+    with h5py.File(output_path, "r+") as f:
+        for name, dset in list(hdf5_chunks.iter_signal_datasets(f)):
+            signal = _read_signal(dset)
+            grp = f[name]["Raw"]
+            attrs = dict(dset.attrs)
+            del grp["Signal"]
+            if decompress:
+                new = grp.create_dataset(
+                    "Signal", data=signal, chunks=(max(signal.size, 1),),
+                    compression="gzip", compression_opts=1)
+            else:
+                opts = CompressionOptions(True, 2, zstd_level, vbz_version)
+                payload = np.frombuffer(
+                    api.vbz_compress_sized(signal, opts, backend=backend),
+                    dtype=np.uint8)
+                # Write the pre-compressed chunk directly — no plugin needed.
+                space = h5py.h5s.create_simple((max(signal.size, 1),))
+                dcpl = h5py.h5p.create(h5py.h5p.DATASET_CREATE)
+                dcpl.set_chunk((max(signal.size, 1),))
+                dcpl.set_filter(hdf5_chunks.VBZ_FILTER_ID,
+                                h5py.h5z.FLAG_OPTIONAL, opts.cd_values)
+                did = h5py.h5d.create(
+                    grp.id, b"Signal", h5py.h5t.NATIVE_INT16, space, dcpl)
+                did.write_direct_chunk((0,), payload.tobytes())
+                new = h5py.Dataset(did)
+            for k, v in attrs.items():
+                new.attrs[k] = v
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Compress fast5 signal data with the TPU-native vbz codec")
+    parser.add_argument("input", help="input fast5 file")
+    parser.add_argument("output", help="output fast5 file")
+    parser.add_argument("-d", "--decompress", action="store_true",
+                        help="re-encode signals as gzip instead of vbz")
+    parser.add_argument("--vbz-version", type=int, default=0, choices=(0, 1))
+    parser.add_argument("--zstd-level", type=int, default=1)
+    parser.add_argument("--backend", choices=("scalar", "jax", "native"),
+                        default="scalar")
+    args = parser.parse_args(argv)
+
+    if args.backend == "jax":
+        from ..models.codec import jax_backend as backend
+    elif args.backend == "native":
+        from ..native_backend import native_backend as backend
+    else:
+        from ..ops import scalar as backend
+
+    compress_fast5(args.input, args.output, decompress=args.decompress,
+                   vbz_version=args.vbz_version, zstd_level=args.zstd_level,
+                   backend=backend)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
