@@ -86,3 +86,34 @@ def test_fast5_corpus_jax_backend():
         assert ours == ref
         n += 1
     assert n == 10
+
+
+@pytest.mark.parametrize("dtype", [np.int8, np.uint8])
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_v1_halfbyte_bit_exact_vs_oracle(dtype, zigzag):
+    data = _random(dtype, 10_000, seed=21)
+    ours = jax_backend.svb_compress(data, 1, zigzag, 1)
+    ref = scalar.svb_compress(data, 1, zigzag, 1)
+    assert ours == ref
+    rt = jax_backend.svb_decompress(ours, data.size, 1, zigzag, 1)
+    np.testing.assert_array_equal(rt.view(dtype), data)
+
+
+@pytest.mark.parametrize("n", [1, 3, 4, 5, 4095, 4096, 4097])
+def test_v1_ragged_sizes(n):
+    data = _random(np.int8, n, seed=n + 100)
+    ours = jax_backend.svb_compress(data, 1, True, 1)
+    ref = scalar.svb_compress(data, 1, True, 1)
+    assert ours == ref
+    rt = jax_backend.svb_decompress(ours, n, 1, True, 1)
+    np.testing.assert_array_equal(rt, data)
+
+
+def test_v1_sparse_zeros():
+    # code-0 (zero byte) handling: mostly-zero int8 stream.
+    rng = np.random.default_rng(3)
+    data = (rng.random(5000) < 0.05).astype(np.int8) * rng.integers(
+        -100, 100, 5000).astype(np.int8)
+    ours = jax_backend.svb_compress(data, 1, True, 1)
+    ref = scalar.svb_compress(data, 1, True, 1)
+    assert ours == ref

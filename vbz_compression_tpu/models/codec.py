@@ -10,8 +10,6 @@ cache stays small (SURVEY.md §7 "ragged reads" landmine). Buckets double from
 4 KiB values up; one compiled executable serves each
 (bucket, integer_size, zigzag) combination.
 
-v1 half-byte streams (``integer_size == 1`` only) currently fall back to the
-NumPy oracle — they are not the hot path (nanopore signal is int16 v0).
 """
 
 from __future__ import annotations
@@ -57,8 +55,6 @@ class JaxSvbBackend:
                      version: int) -> bytes:
         if integer_size not in (1, 2, 4):
             raise VbzError(VBZ_INTEGER_SIZE_ERROR, f"integer_size={integer_size}")
-        if version == 1 and integer_size == 1:
-            return scalar.svb_compress(data, integer_size, use_zigzag, version)
         raw = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(
             data, np.ndarray) else np.ascontiguousarray(data).view(np.uint8).ravel()
         if raw.size % integer_size != 0:
@@ -72,7 +68,8 @@ class JaxSvbBackend:
         N = bucket_size(n)
         x = _pad_to(typed, N)
         stream, total = jax_svb.encode_chunk(
-            jnp.asarray(x), jnp.int32(n), integer_size, use_zigzag)
+            jnp.asarray(x), jnp.int32(n), integer_size, use_zigzag,
+            version=version)
         total = int(total)
         return np.asarray(stream[:total]).tobytes()
 
@@ -80,9 +77,6 @@ class JaxSvbBackend:
                        use_zigzag: bool, version: int) -> np.ndarray:
         if integer_size not in (1, 2, 4):
             raise VbzError(VBZ_INTEGER_SIZE_ERROR, f"integer_size={integer_size}")
-        if version == 1 and integer_size == 1:
-            return scalar.svb_decompress(stream, count, integer_size,
-                                         use_zigzag, version)
         buf = np.frombuffer(bytes(stream), dtype=np.uint8) if not isinstance(
             stream, np.ndarray) else stream.astype(np.uint8, copy=False)
         in_len = buf.size
@@ -92,13 +86,13 @@ class JaxSvbBackend:
                                "empty stream mismatch")
             return np.zeros(0, dtype=_SIGNED_FOR_SIZE[integer_size])
         N = bucket_size(count)
-        M = N // 4 + 4 * N
+        M = N // 4 + (2 * N if (version == 1 and integer_size == 1) else 4 * N)
         padded = _pad_to(buf, max(M, in_len))[:M] if in_len <= M else None
         if padded is None:
             raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR, "stream too long")
         out, ok = jax_svb.decode_chunk(
             jnp.asarray(padded), jnp.int32(count), jnp.int32(in_len),
-            integer_size, use_zigzag, N)
+            integer_size, use_zigzag, N, version=version)
         if not bool(ok):
             raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR, "validation failed")
         return np.asarray(out[:count])

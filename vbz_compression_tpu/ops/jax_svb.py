@@ -112,6 +112,13 @@ def svb0_encode(values: jax.Array, n: jax.Array, max_bytes: int = 4):
     Returns ``(stream, total_len)`` where ``stream`` is uint8 of static length
     ``N//4 + max_bytes*N`` and ``total_len`` is the valid byte count.
     N must be a multiple of 4.
+
+    TPU note: the byte compaction is formulated as a pure *gather* — for each
+    output byte position the source value is found by bisection over the
+    monotone prefix-sum of byte lengths (log₂N rounds of vectorized gathers).
+    XLA TPU lowers 1-D scatters poorly (minutes-long compiles, and the axon
+    backend miscompiled them outright), while monotone gathers compile fast
+    and are bit-exact — the decode path uses the same machinery.
     """
     N = values.shape[0]
     assert N % 4 == 0, "padded length must be a multiple of 4"
@@ -124,7 +131,11 @@ def svb0_encode(values: jax.Array, n: jax.Array, max_bytes: int = 4):
              + (v > 0xFFFF).astype(jnp.uint32)
              + (v > 0xFFFFFF).astype(jnp.uint32))
     codes = jnp.where(valid, codes, 0)
-    lengths = jnp.where(valid, codes + 1, 0)
+    lengths = jnp.where(valid, codes + 1, 0).astype(jnp.int32)
+    if max_bytes < 4:
+        # Width-limited configs (e.g. int16 zig-zag wraps in 16 bits) can
+        # never emit more than max_bytes — help the compiler.
+        lengths = jnp.minimum(lengths, max_bytes)
 
     # --- key section: 4 codes per byte, little-endian 2-bit fields.
     kc = codes.reshape(N // 4, 4)
@@ -132,30 +143,31 @@ def svb0_encode(values: jax.Array, n: jax.Array, max_bytes: int = 4):
                  | (kc[:, 3] << 6)).astype(jnp.uint8)
     key_len = (n + 3) // 4
 
-    # --- data section: stage max_bytes LE bytes per value, compact.
-    stage_cols = jnp.arange(max_bytes, dtype=jnp.uint32)
-    staged = ((v[:, None] >> (stage_cols[None, :] * 8)) & 0xFF).astype(jnp.uint32)
-    stage_valid = (stage_cols[None, :] < lengths[:, None]).reshape(-1)
-    staged = staged.reshape(-1)
-    pos = _exclusive_cumsum(stage_valid.astype(jnp.int32))
-    data_len = pos[-1] + stage_valid[-1].astype(jnp.int32)
-    M = N // 4 + max_bytes * N
-    # Sorted unique scatter; dropped slots (invalid bytes) go out of range.
-    target = jnp.where(stage_valid, pos, M)
-    data = jnp.zeros(M, dtype=jnp.uint8).at[target].set(
-        staged.astype(jnp.uint8), mode="drop", unique_indices=True,
-        indices_are_sorted=True)
-
-    # --- assemble: keys at [0, key_len), data shifted to key_len.
-    out = jnp.zeros(M, dtype=jnp.uint8)
-    out = jax.lax.dynamic_update_slice(out, key_bytes, (0,))
-    # Writing the full data block at offset key_len overwrites any key-section
-    # overhang; dynamic_update_slice clamps the start so M ≥ key_len + M would
-    # clip — instead place data with a shifted scatter-free roll:
-    out = jax.lax.select(
-        jnp.arange(M) < key_len, out,
-        jnp.roll(data, key_len))
+    # --- data section via inverse-map gather.
+    # F[i] = exclusive prefix sum of lengths = data-relative offset of value i.
+    F = _exclusive_cumsum(lengths)
+    data_len = F[-1] + lengths[-1]
     total_len = key_len + data_len
+
+    M = N // 4 + max_bytes * N
+    p = jnp.arange(M, dtype=jnp.int32)
+    j = jnp.maximum(p - key_len, 0)  # data-relative output position
+
+    # Bisection: i(j) = max { i : F[i] <= j }, F monotone nondecreasing.
+    lo = jnp.zeros(M, dtype=jnp.int32)
+    hi = jnp.minimum(j, N - 1)
+    for _ in range(N.bit_length()):
+        mid = (lo + hi + 1) >> 1
+        pred = F[jnp.clip(mid, 0, N - 1)] <= j
+        lo = jnp.where(pred, mid, lo)
+        hi = jnp.where(pred, hi, mid - 1)
+    i = jnp.clip(lo, 0, N - 1)
+    sub = (j - F[i]).astype(jnp.uint32)
+    data_byte = ((v[i] >> (8 * jnp.minimum(sub, 3))) & 0xFF).astype(jnp.uint8)
+
+    key_byte = key_bytes[jnp.minimum(p, N // 4 - 1)]
+    out = jnp.where(p < key_len, key_byte, data_byte)
+    out = jnp.where(p < total_len, out, 0)
     return out, total_len
 
 
@@ -205,32 +217,140 @@ def svb0_decode_n(stream: jax.Array, n: jax.Array, stream_len: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# v1: half-byte wire format (integer_size == 1 only)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def svb1_encode(values: jax.Array, n: jax.Array):
+    """Encode uint32 ``values`` into a v1 half-byte stream (semantics of
+    ``scalar.svb1_encode``; reference ``v1/impl.h:112-125``).
+
+    Returns ``(stream u8 [N//4 + 2N], total_len)``. Same gather-bisection
+    design as :func:`svb0_encode`, but in nibble units.
+    """
+    N = values.shape[0]
+    assert N % 4 == 0
+    v = values.astype(jnp.uint32)
+    idx = jnp.arange(N)
+    valid = idx < n
+    v = jnp.where(valid, v, 0)
+
+    codes = jnp.where(
+        v == 0, 0, jnp.where(v < 16, 1, jnp.where(v < 256, 2, 3))
+    ).astype(jnp.int32)
+    codes = jnp.where(valid, codes, 0)
+    # nibbles per code: 0,1,2,4  ==  (1<<code)>>1
+    ncounts = jnp.where(valid, (1 << codes) >> 1, 0).astype(jnp.int32)
+
+    kc = codes.reshape(N // 4, 4)
+    key_bytes = (kc[:, 0] | (kc[:, 1] << 2) | (kc[:, 2] << 4)
+                 | (kc[:, 3] << 6)).astype(jnp.uint8)
+    key_len = (n + 3) // 4
+
+    G = _exclusive_cumsum(ncounts)  # nibble offsets
+    total_nibbles = G[-1] + ncounts[-1]
+    data_len = (total_nibbles + 1) >> 1
+    total_len = key_len + data_len
+
+    M = N // 4 + 2 * N
+    p = jnp.arange(M, dtype=jnp.int32)
+    b = jnp.maximum(p - key_len, 0)  # data-relative byte position
+
+    def nib_at(q):
+        lo = jnp.zeros(M, dtype=jnp.int32)
+        # Upper bound is N-1 (not q): zero-nibble values mean the owning
+        # value index can exceed the nibble position.
+        hi = jnp.full(M, N - 1, dtype=jnp.int32)
+        for _ in range(N.bit_length()):
+            mid = (lo + hi + 1) >> 1
+            pred = G[jnp.clip(mid, 0, N - 1)] <= q
+            lo = jnp.where(pred, mid, lo)
+            hi = jnp.where(pred, hi, mid - 1)
+        i = jnp.clip(lo, 0, N - 1)
+        sub = (q - G[i]).astype(jnp.uint32)
+        nib = (v[i] >> (4 * jnp.minimum(sub, 3))) & 0xF
+        return jnp.where(q < total_nibbles, nib, 0)
+
+    byte = (nib_at(2 * b) | (nib_at(2 * b + 1) << 4)).astype(jnp.uint8)
+    key_byte = key_bytes[jnp.minimum(p, N // 4 - 1)]
+    out = jnp.where(p < key_len, key_byte, byte)
+    out = jnp.where(p < total_len, out, 0)
+    return out, total_len
+
+
+@functools.partial(jax.jit, static_argnames=("out_n",))
+def svb1_decode_n(stream: jax.Array, n: jax.Array, stream_len: jax.Array,
+                  out_n: int):
+    """Decode ``n`` values from a v1 half-byte stream. Returns
+    ``(values_u32, ok)``; validation mirrors
+    ``streamvbyte_validate_stream_half`` (``v1/impl.h:183-216``)."""
+    assert out_n % 4 == 0
+    M = stream.shape[0]
+    idx = jnp.arange(out_n)
+    valid = idx < n
+    key_len = (n + 3) // 4
+
+    key_idx = jnp.minimum(idx >> 2, M - 1)
+    keys = stream[key_idx].astype(jnp.uint32)
+    codes = (keys >> ((idx & 3).astype(jnp.uint32) * 2)) & 3
+    codes = jnp.where(valid, codes, 0).astype(jnp.int32)
+    ncounts = jnp.where(valid, (1 << codes) >> 1, 0).astype(jnp.int32)
+
+    G = _exclusive_cumsum(ncounts)
+    total_nibbles = G[-1] + ncounts[-1]
+    data_len = (total_nibbles + 1) >> 1
+    ok = (key_len + data_len == stream_len) & (key_len <= stream_len)
+
+    # Gather up to 4 nibbles per value from the nibble stream.
+    gcols = jnp.arange(4, dtype=jnp.int32)
+    q = G[:, None] + gcols[None, :]               # nibble positions
+    byte_idx = jnp.clip(key_len + (q >> 1), 0, M - 1)
+    raw = stream[byte_idx].astype(jnp.uint32)
+    nibs = (raw >> (4 * (q & 1)).astype(jnp.uint32)) & 0xF
+    col_mask = gcols[None, :] < ncounts[:, None]
+    shifts = (gcols * 4).astype(jnp.uint32)[None, :]
+    vals = jnp.sum(jnp.where(col_mask, nibs << shifts, 0), axis=1,
+                   dtype=jnp.uint32)
+    return jnp.where(valid, vals, 0), ok
+
+
+# ---------------------------------------------------------------------------
 # Full single-chunk pipelines (transform + pack), jit entry points
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("integer_size", "use_zigzag"))
+                   static_argnames=("integer_size", "use_zigzag", "version"))
 def encode_chunk(x: jax.Array, n: jax.Array, integer_size: int,
-                 use_zigzag: bool):
+                 use_zigzag: bool, version: int = 0):
     """x: padded 1-D signed array (length multiple of 4) of the codec width;
-    returns (stream u8, total_len)."""
+    returns (stream u8, total_len). ``version`` selects the wire format
+    (v1 only changes behaviour for ``integer_size == 1``, mirroring
+    ``vbz/v1/vbz_streamvbyte.cpp:37-64``)."""
     if use_zigzag:
         values = zigzag_delta_fwd(x, integer_size)
         # Padding must not disturb deltas at the valid boundary: entries ≥ n
         # are zeroed inside svb0_encode via the valid mask.
     else:
         values = widen_fwd(x)
+    if version == 1 and integer_size == 1:
+        return svb1_encode(values, n)
     mb = max_bytes_per_value(integer_size, use_zigzag)
     return svb0_encode(values, n, max_bytes=mb)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("integer_size", "use_zigzag", "out_n"))
+                   static_argnames=("integer_size", "use_zigzag", "out_n",
+                                    "version"))
 def decode_chunk(stream: jax.Array, n: jax.Array, stream_len: jax.Array,
-                 integer_size: int, use_zigzag: bool, out_n: int):
+                 integer_size: int, use_zigzag: bool, out_n: int,
+                 version: int = 0):
     """Returns (x, ok): padded signed output of the codec width."""
-    values, ok = svb0_decode_n(stream, n, stream_len, out_n)
+    if version == 1 and integer_size == 1:
+        values, ok = svb1_decode_n(stream, n, stream_len, out_n)
+    else:
+        values, ok = svb0_decode_n(stream, n, stream_len, out_n)
     if use_zigzag:
         out = zigzag_delta_inv(values, integer_size)
     else:
