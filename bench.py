@@ -58,10 +58,9 @@ def tpu_codec_gbps() -> float:
     sig = make_signal(B * N).reshape(B, N)
     lens = np.full(B, N, dtype=np.int32)
 
-    enc = jax.jit(jax.vmap(
-        lambda x, n: jax_svb.encode_chunk(x, n, 2, True)))
-    dec = jax.jit(jax.vmap(
-        lambda s, n, l: jax_svb.decode_chunk(s, n, l, 2, True, N)))
+    enc = jax.jit(lambda x, n: jax_svb.encode_batch(x, n, 2, True))
+    dec = jax.jit(
+        lambda s, n, l: jax_svb.decode_batch_n(s, n, l, 2, True, N))
 
     xb = jax.device_put(jnp.asarray(sig))
     nb = jax.device_put(jnp.asarray(lens))

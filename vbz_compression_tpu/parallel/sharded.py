@@ -37,18 +37,15 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
 
 def _encode_rows(x: jax.Array, n: jax.Array, integer_size: int,
                  use_zigzag: bool):
-    """vmap the single-chunk encoder over the local batch rows."""
-    return jax.vmap(
-        lambda xi, ni: jax_svb.encode_chunk(xi, ni, integer_size, use_zigzag)
-    )(x, n)
+    """Batched encode (flat-index gathers — vmap would lower to pathological
+    batched gathers on TPU)."""
+    return jax_svb.encode_batch(x, n, integer_size, use_zigzag)
 
 
 def _decode_rows(streams: jax.Array, n: jax.Array, stream_len: jax.Array,
                  integer_size: int, use_zigzag: bool, out_n: int):
-    return jax.vmap(
-        lambda si, ni, li: jax_svb.decode_chunk(si, ni, li, integer_size,
-                                                use_zigzag, out_n)
-    )(streams, n, stream_len)
+    return jax_svb.decode_batch_n(streams, n, stream_len, integer_size,
+                                  use_zigzag, out_n)
 
 
 @functools.partial(
