@@ -27,6 +27,24 @@ constexpr size_t kOptIntegerSize = 1;
 constexpr size_t kOptZigZag = 2;
 constexpr size_t kOptZstdLevel = 3;
 
+// Env-gated debug logging with per-call XOR checksums, like the reference's
+// VBZ_DEBUG build flag (reference: vbz_plugin/vbz_plugin.cpp:20-46) but
+// runtime-switchable via VBZ_DEBUG_HDF=1.
+bool debug_enabled() {
+    static const bool enabled = [] {
+        const char* e = std::getenv("VBZ_DEBUG_HDF");
+        return e && *e && *e != '0';
+    }();
+    return enabled;
+}
+
+unsigned xor_checksum(const void* data, size_t n) {
+    const unsigned char* p = static_cast<const unsigned char*>(data);
+    unsigned acc = 0;
+    for (size_t i = 0; i < n; ++i) acc ^= static_cast<unsigned>(p[i]) << (8 * (i & 3));
+    return acc;
+}
+
 size_t vbz_h5_filter(unsigned int flags, size_t cd_nelmts,
                      const unsigned int cd_values[], size_t /*nbytes*/,
                      size_t* buf_size, void** buf) {
@@ -38,6 +56,17 @@ size_t vbz_h5_filter(unsigned int flags, size_t cd_nelmts,
     options.perform_delta_zig_zag = cd_values[kOptZigZag] != 0;
     options.zstd_compression_level =
         (cd_nelmts > kOptZstdLevel) ? cd_values[kOptZstdLevel] : 1;
+
+    if (debug_enabled()) {
+        std::fprintf(stderr,
+                     "vbz plugin: %s size=%zu checksum=%08x "
+                     "(v%u int%u zz%d z%u)\n",
+                     (flags & H5Z_FLAG_REVERSE) ? "decompress" : "compress",
+                     *buf_size, xor_checksum(*buf, *buf_size),
+                     options.vbz_version, options.integer_size,
+                     options.perform_delta_zig_zag ? 1 : 0,
+                     options.zstd_compression_level);
+    }
 
     if (flags & H5Z_FLAG_REVERSE) {
         // Decompress.

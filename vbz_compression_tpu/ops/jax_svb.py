@@ -22,9 +22,11 @@ Design notes (TPU-first):
 - Decode is a gather at prefix-sum offsets plus an associative-scan prefix
   sum for delta reconstruction — the reference's 8-wide ``alignr``/``add``
   ladder (``sse3.h:524-539``) generalized to the whole chunk.
-- Batched variants (``encode_batch``/``decode_batch_n``) express the batch
-  dimension with explicit flat indices: ``vmap`` would create *batched
-  gathers*, which lower two orders of magnitude slower on TPU.
+- Batched variants (``encode_batch``/``decode_batch_n``) ``lax.scan`` the
+  single-row codec over rows: a TPU core runs one program at a time, so the
+  scan matches fully-batched throughput at single-row compile cost. Never
+  ``vmap`` these kernels — batched gathers lower ~100× slower on TPU; the
+  ``*_2d`` flat-index variants exist but compile pathologically on axon.
 - All staging stays in 32-bit lanes (TPU native); u8 views only materialize
   at the HBM boundary.
 """
@@ -311,7 +313,29 @@ def encode_batch(x: jax.Array, n: jax.Array, integer_size: int,
     """Batched v0 encode: x [B, N] (N multiple of 4), n [B] valid counts.
 
     Returns ``(streams [B, M] u8, totals [B])``.
+
+    Implementation: ``lax.scan`` of the single-row encoder over rows. A TPU
+    chip core runs one program at a time, so a sequential scan of efficient
+    rows matches fully-batched throughput — while compiling in single-row
+    time (the fully 2-D formulation took >25 min to compile on the axon
+    backend; scan compiles in seconds).
     """
+    def step(_, xn):
+        xi, ni = xn
+        stream, total = encode_chunk(xi, ni, integer_size, use_zigzag)
+        return None, (stream, total)
+
+    _, (streams, totals) = jax.lax.scan(step, None, (x, n))
+    return streams, totals
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("integer_size", "use_zigzag"))
+def encode_batch_2d(x: jax.Array, n: jax.Array, integer_size: int,
+                    use_zigzag: bool):
+    """Fully 2-D batched v0 encode (flat-index gathers). Functionally
+    identical to :func:`encode_batch`; kept for backends where scan overhead
+    dominates (CPU testing) — avoid on axon (compile blow-up)."""
     B, N = x.shape
     assert N % 4 == 0
     if use_zigzag:
@@ -374,10 +398,25 @@ def encode_batch(x: jax.Array, n: jax.Array, integer_size: int,
                    static_argnames=("integer_size", "use_zigzag", "out_n"))
 def decode_batch_n(streams: jax.Array, n: jax.Array, stream_len: jax.Array,
                    integer_size: int, use_zigzag: bool, out_n: int):
-    """Batched v0 decode. streams [B, M] u8; n, stream_len [B].
+    """Batched v0 decode via lax.scan of the single-row decoder (see
+    :func:`encode_batch` for why scan beats 2-D batching here).
 
     Returns ``(x [B, out_n] signed, ok [B])``.
     """
+    def step(_, snl):
+        si, ni, li = snl
+        out, ok = decode_chunk(si, ni, li, integer_size, use_zigzag, out_n)
+        return None, (out, ok)
+
+    _, (outs, oks) = jax.lax.scan(step, None, (streams, n, stream_len))
+    return outs, oks
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("integer_size", "use_zigzag", "out_n"))
+def decode_batch_2d(streams: jax.Array, n: jax.Array, stream_len: jax.Array,
+                    integer_size: int, use_zigzag: bool, out_n: int):
+    """Fully 2-D batched v0 decode (flat-index gathers)."""
     B, M = streams.shape
     N = out_n
     assert N % 4 == 0
