@@ -50,6 +50,12 @@ def cpu_baseline_gbps() -> float:
 
 def tpu_codec_gbps() -> float:
     import jax
+
+    # Remote compiles on the axon backend take minutes; persist them.
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from vbz_compression_tpu.ops import jax_svb
