@@ -82,10 +82,15 @@ def tpu_codec_gbps() -> float:
         s, t = enc(row, nb)
         streams.append(s)
         totals.append(t)
-    outs = [dec(s, nb, t) for s, t in zip(streams, totals)]
-    for row, (o, ok) in zip(sig, outs):
-        assert bool(ok), "decode validation failed"
-        np.testing.assert_array_equal(np.asarray(o), row)
+    # Validate round-trip ON DEVICE (pulling 8 MiB arrays through the tunnel
+    # takes minutes; pull only scalars).
+    mismatch = jax.jit(
+        lambda x, o, ok: jnp.where(ok, jnp.sum(jnp.abs(
+            x.astype(jnp.int32) - o.astype(jnp.int32))), jnp.int32(-1)))
+    for row_dev, s, t in zip(xs, streams, totals):
+        o, ok = dec(s, nb, t)
+        m = int(mismatch(row_dev, o, ok)[None][0])
+        assert m == 0, f"round-trip mismatch on device: {m}"
 
     def fence(arr):
         return float(jnp.sum(arr.astype(jnp.int32)[:8])[None][0])
