@@ -101,3 +101,42 @@ def test_hdf5_plugin_reads_reference_fast5():
         for name in f.keys():
             np.testing.assert_array_equal(f[name]["Raw/Signal"][...],
                                           g[name]["Raw/Signal"][...])
+
+
+def test_h5py_helpers_roundtrip(tmp_path):
+    import h5py
+
+    from vbz_compression_tpu.utils import h5py_helpers as vbz5
+
+    assert vbz5.register_plugin()
+    sig = np.arange(-5000, 5000, dtype=np.int16)
+    path = str(tmp_path / "helper.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("s", data=sig, chunks=(sig.size,),
+                         **vbz5.dataset_opts())
+    with h5py.File(path) as f:
+        np.testing.assert_array_equal(f["s"][...], sig)
+        opts = vbz5.options_of(f["s"])
+        assert opts.integer_size == 2 and opts.perform_delta_zig_zag
+
+
+def test_h5repack_cli(tmp_path):
+    """Reference parity for python/test/test_repack.py — skipped when
+    h5repack is not installed (it shells out to the HDF5 tools)."""
+    import shutil
+
+    if shutil.which("h5repack") is None:
+        pytest.skip("h5repack not available")
+    import h5py
+
+    src = str(tmp_path / "in.h5")
+    dst = str(tmp_path / "out.h5")
+    sig = np.arange(0, 50000, dtype=np.int16)
+    with h5py.File(src, "w") as f:
+        f.create_dataset("s", data=sig, chunks=(sig.size,))
+    env = dict(os.environ, HDF5_PLUGIN_PATH=NATIVE)
+    r = subprocess.run(["h5repack", "-f", "UD=32020,0,4,0,2,1,1", src, dst],
+                       env=env, capture_output=True)
+    assert r.returncode == 0, r.stderr
+    with h5py.File(dst) as f:
+        np.testing.assert_array_equal(f["s"][...], sig)

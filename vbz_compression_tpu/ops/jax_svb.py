@@ -157,6 +157,73 @@ def svb0_encode(values: jax.Array, n: jax.Array, max_bytes: int = 4,
 
 
 @functools.partial(jax.jit, static_argnames=("max_bytes",))
+def svb0_encode_gf(values: jax.Array, n: jax.Array, max_bytes: int = 4):
+    """Gather-free v0 encode: full-depth recursive-doubling pack + memcpy
+    assembly. The only data-dependent addressing is bulk dynamic slices —
+    no per-element gathers/scatters (which run at ~0.11 G/s on this TPU
+    backend vs ~17 G elementwise ops/s).
+    """
+    from . import pack_doubling
+
+    N = values.shape[0]
+    assert N % 4 == 0
+    v = values.astype(jnp.uint32)
+    valid = jnp.arange(N) < n
+    v = jnp.where(valid, v, 0)
+    codes, lengths = _codes_and_lengths(v, valid, max_bytes)
+    key_bytes = _pack_key_bytes(codes)
+    key_len = (n + 3) // 4
+
+    words, data_len = pack_doubling.pack_full(v, lengths, max_bytes=max_bytes)
+    M = N // 4 + max_bytes * N
+    return pack_doubling.assemble_stream(key_bytes, key_len, words, data_len,
+                                         M)
+
+
+@functools.partial(jax.jit, static_argnames=("out_n",))
+def svb0_decode_gf(stream: jax.Array, n: jax.Array, stream_len: jax.Array,
+                   out_n: int):
+    """Gather-free v0 decode: key expansion by reshape, data extraction by
+    one bulk dynamic slice, then recursive-halving unpack.
+
+    Returns ``(values_u32 [out_n], ok)``.
+    """
+    from . import unpack_halving
+
+    assert out_n % 4 == 0
+    M = stream.shape[0]
+    N = out_n
+    idx = jnp.arange(N)
+    valid = idx < n
+    key_len = (n + 3) // 4
+
+    # Key expansion without gathers: each key byte yields 4 codes.
+    kb = stream[: N // 4].astype(jnp.uint32)
+    codes = jnp.stack([kb & 3, (kb >> 2) & 3, (kb >> 4) & 3, (kb >> 6) & 3],
+                      axis=1).reshape(N)
+    codes = jnp.where(valid, codes, 0)
+    lengths = jnp.where(valid, codes + 1, 0).astype(jnp.int32)
+
+    total = jnp.sum(lengths)
+    ok = (key_len + total == stream_len) & (key_len <= stream_len)
+
+    # Extract the data section with one bulk dynamic slice. Pad generously:
+    # dynamic_slice clamps the start when start+size exceeds the buffer,
+    # which would silently shift the data section.
+    W = (M + 3) // 4
+    buf = jnp.concatenate([stream, jnp.zeros(N // 4 + 8, jnp.uint8)])
+    data = jax.lax.dynamic_slice(buf, (key_len,), (4 * W,))
+    db = data.reshape(W, 4).astype(jnp.uint32)
+    words = db[:, 0] | (db[:, 1] << 8) | (db[:, 2] << 16) | (db[:, 3] << 24)
+    # Cap the word buffer at what unpack needs: N words (≤ 4 bytes/value).
+    words = words[:N] if W >= N else jnp.concatenate(
+        [words, jnp.zeros(N - W, jnp.uint32)])
+
+    vals = unpack_halving.unpack_full(words, lengths, max_bytes=4)
+    return jnp.where(valid, vals, 0), ok
+
+
+@functools.partial(jax.jit, static_argnames=("max_bytes",))
 def svb0_encode_bisect(values: jax.Array, n: jax.Array, max_bytes: int = 4):
     """Encode uint32 ``values`` (padded length N, ``n`` valid) into a v0
     stream.
@@ -574,10 +641,9 @@ def encode_chunk(x: jax.Array, n: jax.Array, integer_size: int,
     if version == 1 and integer_size == 1:
         return svb1_encode(values, n)
     mb = max_bytes_per_value(integer_size, use_zigzag)
-    # Bisect encode: proven 4 s compile / ~104 GB/s on the axon v5e. The
-    # doubling packer (svb0_encode) is kept for study but its deep
-    # reshape/concat graph compiles pathologically on the remote backend.
-    return svb0_encode_bisect(values, n, max_bytes=mb)
+    # Gather-free encode: per-element gathers run at ~0.11 G/s on this TPU
+    # backend; the doubling pack + memcpy assembly avoids them entirely.
+    return svb0_encode_gf(values, n, max_bytes=mb)
 
 
 @functools.partial(jax.jit,
@@ -590,7 +656,7 @@ def decode_chunk(stream: jax.Array, n: jax.Array, stream_len: jax.Array,
     if version == 1 and integer_size == 1:
         values, ok = svb1_decode_n(stream, n, stream_len, out_n)
     else:
-        values, ok = svb0_decode_n(stream, n, stream_len, out_n)
+        values, ok = svb0_decode_gf(stream, n, stream_len, out_n)
     if use_zigzag:
         out = zigzag_delta_inv(values, integer_size)
     else:

@@ -36,6 +36,52 @@ def _exclusive_cumsum(x):
     return c - x
 
 
+# Below this record count, per-record word placement switches from the
+# binary-decomposed conditional-shift ladder (log R full passes) to unrolled
+# lax.dynamic_update_slice copies (one bulk memcpy per record) — cheaper when
+# records are few and huge (the deep levels of a full-depth pack).
+_DYNAMIC_NREC = 16
+
+
+def _funnel_shift_bytes(B: jax.Array, s: jax.Array):
+    """Shift each record's byte string right by s ∈ [0,4) bytes; returns one
+    extra word per record. B: [nrec, R]; s: [nrec, 1] uint32."""
+    nrec = B.shape[0]
+    zero_col = jnp.zeros((nrec, 1), dtype=jnp.uint32)
+    B_ext = jnp.concatenate([B, zero_col], axis=1)
+    B_prev = jnp.concatenate([zero_col, B], axis=1)
+    sh = 8 * s
+    rsh = (32 - sh) & 31
+    return jnp.where(sh == 0, B_ext, (B_ext << sh) | (B_prev >> rsh))
+
+
+def _place_at_word_offset(Bs: jax.Array, w0: jax.Array, R: int):
+    """Place [nrec, R+1] word strings at per-record word offsets w0 ∈ [0, R]
+    within [nrec, 2R] buffers (zero elsewhere)."""
+    nrec = Bs.shape[0]
+    pad_n = R - 1
+    pad = jnp.zeros((nrec, pad_n), dtype=jnp.uint32)
+    cur = jnp.concatenate([Bs, pad], axis=1)             # [nrec, 2R]
+    if nrec <= _DYNAMIC_NREC:
+        rows = []
+        # One word wider than the result: at w0 == R the (R+1)-word source
+        # would otherwise spill and dynamic_update_slice clamps the start,
+        # shifting the whole write.
+        zero_row = jnp.zeros((2 * R + 1,), dtype=jnp.uint32)
+        for r in range(nrec):
+            shifted = jax.lax.dynamic_update_slice(
+                zero_row, Bs[r], (w0[r, 0],))
+            rows.append(shifted[: 2 * R])
+        return jnp.stack(rows)
+    shift = 1
+    while shift <= R:
+        zpad = jnp.zeros((nrec, shift), dtype=jnp.uint32)
+        shifted = jnp.concatenate([zpad, cur[:, :-shift]], axis=1)
+        cur = jnp.where((w0 & shift) != 0, shifted, cur)
+        shift <<= 1
+    return cur
+
+
 def _merge_level(words: jax.Array, lens: jax.Array, R: int):
     """One doubling round: [nrec, R]-word records → [nrec//2, 2R].
 
@@ -50,24 +96,8 @@ def _merge_level(words: jax.Array, lens: jax.Array, R: int):
     s = (la & 3).astype(jnp.uint32)          # byte shift within word
     w0 = (la >> 2).astype(jnp.int32)         # word offset of B in the result
 
-    # Byte-granular funnel shift of B by s bytes (result has R+1 words).
-    zero_col = jnp.zeros((nrec // 2, 1), dtype=jnp.uint32)
-    B_ext = jnp.concatenate([B, zero_col], axis=1)       # B[t]
-    B_prev = jnp.concatenate([zero_col, B], axis=1)      # B[t-1]
-    sh = 8 * s
-    rsh = (32 - sh) & 31
-    Bs = jnp.where(sh == 0, B_ext, (B_ext << sh) | (B_prev >> rsh))
-
-    # Place Bs at word offset w0 ∈ [0, R] via binary-decomposed word shift.
-    pad = jnp.zeros((nrec // 2, R - 1), dtype=jnp.uint32) if R > 1 else \
-        jnp.zeros((nrec // 2, 0), dtype=jnp.uint32)
-    cur = jnp.concatenate([Bs, pad], axis=1)             # [nrec/2, 2R]
-    shift = 1
-    while shift <= R:
-        zpad = jnp.zeros((nrec // 2, shift), dtype=jnp.uint32)
-        shifted = jnp.concatenate([zpad, cur[:, :-shift]], axis=1)
-        cur = jnp.where((w0 & shift) != 0, shifted, cur)
-        shift <<= 1
+    Bs = _funnel_shift_bytes(B, s)
+    cur = _place_at_word_offset(Bs, w0, R)
 
     zpadA = jnp.zeros((nrec // 2, R), dtype=jnp.uint32)
     A_ext = jnp.concatenate([A, zpadA], axis=1)
@@ -112,6 +142,63 @@ def pack_blocks(values: jax.Array, lengths: jax.Array, max_bytes: int = 4,
     BW = block_values * max_bytes // 4
     assert R == BW, (R, BW)
     return words.reshape(-1, BW), lens
+
+
+@functools.partial(jax.jit, static_argnames=("max_bytes",))
+def pack_full(values: jax.Array, lengths: jax.Array, max_bytes: int = 4):
+    """Pack the whole array into ONE dense byte run (full-depth doubling).
+
+    Returns ``(words u32 [W], data_len)`` with the data section's bytes in
+    little-endian order from word 0. Gather-free: deep levels use unrolled
+    dynamic-slice placement, shallow levels the conditional-shift ladder.
+    """
+    N = values.shape[0]
+    v = values.astype(jnp.uint32)
+    lens = lengths.astype(jnp.int32)
+
+    if max_bytes <= 2:
+        v0 = v[0::2]
+        v1 = v[1::2]
+        l0 = lens[0::2]
+        words = v0 | (v1 << (8 * l0).astype(jnp.uint32))
+        lens = l0 + lens[1::2]
+        R = 1
+    else:
+        words = v
+        R = 1
+
+    while lens.shape[0] > 1:
+        words, lens = _merge_level(words, lens, R)
+        R *= 2
+    return words, lens[0]
+
+
+@functools.partial(jax.jit, static_argnames=("out_len",))
+def assemble_stream(key_bytes: jax.Array, key_len: jax.Array,
+                    data_words: jax.Array, data_len: jax.Array,
+                    out_len: int):
+    """Gather-free final assembly: ``keys[:key_len] ++ data[:data_len]``.
+
+    The data section is materialized as bytes via bitcast and placed at the
+    dynamic ``key_len`` offset with a single dynamic-slice of a zero-padded
+    buffer (memcpy-speed; no per-byte indexing).
+    """
+    nk = key_bytes.shape[0]
+    data_bytes = jax.lax.bitcast_convert_type(
+        data_words, jnp.uint8).reshape(-1)          # little-endian per word
+    W4 = data_bytes.shape[0]
+    # Shift data right by key_len: take a dynamic slice of [zeros | data]
+    # starting at (nk - key_len) so data lands at key_len.
+    buf = jnp.concatenate(
+        [jnp.zeros(nk, jnp.uint8), data_bytes,
+         jnp.zeros(max(out_len - W4, 0), jnp.uint8)])
+    shifted = jax.lax.dynamic_slice(buf, (nk - key_len,), (out_len,))
+    p = jnp.arange(out_len, dtype=jnp.int32)
+    keys_padded = jnp.concatenate(
+        [key_bytes, jnp.zeros(max(out_len - nk, 0), jnp.uint8)])[:out_len]
+    total = key_len + data_len
+    out = jnp.where(p < key_len, keys_padded, shifted)
+    return jnp.where(p < total, out, 0), total
 
 
 @functools.partial(jax.jit, static_argnames=("out_len",))

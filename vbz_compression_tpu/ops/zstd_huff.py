@@ -172,25 +172,30 @@ def pack_bits_backward(codes: np.ndarray, nbits: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _literals_header(regenerated: int, compressed: int) -> bytes:
-    """Compressed_Literals_Block header, 1-stream (Size_Format 00 not valid
-    for 1 stream? Spec: Size_Format 00 ⇒ single stream). Uses the smallest
-    format that fits."""
-    # Size_Format 00: 10-bit sizes, 3-byte header, single stream.
-    if regenerated < (1 << 10) and compressed < (1 << 10):
+def _literals_header(regenerated: int, compressed: int,
+                     four_streams: bool) -> bytes:
+    """Compressed_Literals_Block section header (type=2). Size_Format:
+    00 → 1 stream, 10-bit sizes (3 bytes); 01 → 4 streams, 10-bit;
+    10 → 4 streams, 14-bit (4 bytes); 11 → 4 streams, 18-bit (5 bytes)."""
+    if not four_streams:
+        assert regenerated < (1 << 10) and compressed < (1 << 10)
         bits = 0b10 | (0b00 << 2) | (regenerated << 4) | (compressed << 14)
         return int(bits).to_bytes(3, "little")
-    # Size_Format 01: 14-bit sizes, 4 streams — we use 1-stream only, so
-    # skip to nothing; callers fall back to raw when sizes exceed 10 bits
-    # per stream? Instead use Size_Format 01 is 4-stream; for 1 stream with
-    # larger sizes zstd has no format — large blocks therefore split at the
-    # frame level (BLOCK_MAX caps regenerated at 128 KiB > 1023!).
-    raise ValueError("literal sizes exceed 1-stream header capacity")
+    if regenerated < (1 << 10) and compressed < (1 << 10):
+        bits = 0b10 | (0b01 << 2) | (regenerated << 4) | (compressed << 14)
+        return int(bits).to_bytes(3, "little")
+    if regenerated < (1 << 14) and compressed < (1 << 14):
+        bits = 0b10 | (0b10 << 2) | (regenerated << 4) | (compressed << 18)
+        return int(bits).to_bytes(4, "little")
+    assert regenerated < (1 << 18) and compressed < (1 << 18)
+    bits = 0b10 | (0b11 << 2) | (regenerated << 4) | (compressed << 22)
+    return int(bits).to_bytes(5, "little")
 
 
 def _huffman_block(chunk: np.ndarray) -> bytes | None:
-    """Compressed_Block content for one ≤1023-byte literals run, or None when
-    raw is smaller."""
+    """Compressed_Block content for one ≤BLOCK_MAX literals run (4-stream
+    Huffman for blocks > 1023 bytes, 1-stream below), or None when raw wins.
+    """
     built = build_codes(chunk)
     if built is None:
         return None
@@ -203,11 +208,32 @@ def _huffman_block(chunk: np.ndarray) -> bytes | None:
         # Alphabets whose last symbol exceeds 127 need FSE-compressed
         # weights (not yet implemented) — fall back to a raw block.
         return None
-    stream = pack_bits_backward(code[chunk], nbits[chunk])
-    lit_compressed = len(table) + len(stream)
-    if lit_compressed >= chunk.size:
-        return None
-    header = _literals_header(chunk.size, lit_compressed)
+
+    if chunk.size < 6 or (chunk.size < (1 << 10)
+                          and len(table) + chunk.size < (1 << 10)):
+        stream = pack_bits_backward(code[chunk], nbits[chunk])
+        lit_compressed = len(table) + len(stream)
+        if lit_compressed >= chunk.size:
+            return None
+        header = _literals_header(chunk.size, lit_compressed, False)
+    else:
+        # 4 streams: first three regenerate ceil(n/4), the fourth the rest
+        # (RFC 8878 §3.1.1.3.1.6), one shared table, 6-byte jump table.
+        part = (chunk.size + 3) // 4
+        parts = [chunk[0:part], chunk[part:2 * part],
+                 chunk[2 * part:3 * part], chunk[3 * part:]]
+        if parts[3].size == 0:
+            return None  # degenerate split; raw is fine at this size
+        streams = [pack_bits_backward(code[p], nbits[p]) for p in parts]
+        if any(len(s) >= (1 << 16) for s in streams[:3]):
+            return None
+        jump = b"".join(int(len(s)).to_bytes(2, "little")
+                        for s in streams[:3])
+        lit_compressed = len(table) + 6 + sum(len(s) for s in streams)
+        if lit_compressed >= chunk.size or lit_compressed >= (1 << 18):
+            return None
+        header = _literals_header(chunk.size, lit_compressed, True)
+        stream = jump + b"".join(streams)
     content = header + table + stream + b"\x00"  # 0 sequences
     if len(content) >= chunk.size:
         return None
@@ -230,8 +256,7 @@ def compress_frame(data: bytes, level_hint: int = 1) -> bytes:
         header = bytes([0xA0]) + int(n).to_bytes(4, "little")
     out = [ZSTD_MAGIC.to_bytes(4, "little"), header]
 
-    # Huffman literal headers cap sizes at 10 bits → block at ≤ 1023 bytes.
-    step = 1023
+    step = BLOCK_MAX
     pos = 0
     if n == 0:
         out.append((1 | (0 << 1) | (0 << 3)).to_bytes(3, "little"))
