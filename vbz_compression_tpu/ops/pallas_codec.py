@@ -140,11 +140,16 @@ def _encode_block_kernel(zz_ref, keys_ref, data_ref, total_ref, state_ref,
     copy.start()
     copy.wait()
 
-    # Carry the (possibly partial) last word for the next block.
+    # Carry the (possibly partial) last word for the next block. Extracted
+    # with a masked reduction — Mosaic has no dynamic-position extract.
     tail_idx = (new_off >> 2) - wo
+    widx = jax.lax.broadcasted_iota(jnp.int32, (W + 1, 1), 0)[:, 0]
+    # Mosaic can't reduce unsigned ints — sum the bit pattern as int32
+    # (exact: only one lane is nonzero).
+    shifted_i32 = jax.lax.bitcast_convert_type(shifted, jnp.int32)
+    tail_word = jnp.sum(jnp.where(widx == tail_idx, shifted_i32, 0))
     state_ref[0] = new_off
-    state_ref[1] = jnp.where(
-        (new_off & 3) == 0, 0, shifted[tail_idx]).astype(jnp.int32)
+    state_ref[1] = jnp.where((new_off & 3) == 0, 0, tail_word)
 
     @pl.when(is_last)
     def _():
