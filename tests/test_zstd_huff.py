@@ -74,3 +74,47 @@ def test_pipeline_with_native_entropy_engine():
     stream = struct.pack("<I", sig.nbytes) + frame
     out = api.vbz_decompress_sized(stream, opts)
     np.testing.assert_array_equal(np.frombuffer(out, np.int16), sig)
+
+
+def test_fse_weight_table_wide_alphabet():
+    """Full-byte alphabets need FSE-compressed Huffman weights; the frames
+    must still decode with stock libzstd."""
+    rng = np.random.default_rng(5)
+    p = np.r_[np.full(64, 12.0), np.full(192, 1.0)]
+    data = rng.choice(np.arange(256, dtype=np.uint8), p=p / p.sum(),
+                      size=50_000).tobytes()
+    frame = zstd_huff.compress_frame(data)
+    assert _decode(frame, len(data)) == data
+    assert len(frame) < 0.95 * len(data)
+
+
+def test_fse_primitives_roundtrip():
+    from vbz_compression_tpu.ops import fse
+
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        n = int(rng.integers(4, 250))
+        w = rng.integers(0, 12, n)
+        if len(set(w.tolist())) < 2:
+            continue
+        payload = fse.compress_weights(w)
+        if payload is None:
+            continue
+        assert fse.decompress_weights(payload) == w.tolist()
+
+
+def test_fse_norm_count_serialization():
+    from vbz_compression_tpu.ops import fse
+
+    rng = np.random.default_rng(8)
+    for _ in range(50):
+        nsym = int(rng.integers(2, 30))
+        freqs = rng.integers(0, 50, nsym)
+        freqs[rng.integers(0, nsym)] += 50
+        if (freqs > 0).sum() < 2:
+            continue
+        norm = fse.normalize_counts(freqs, 6)
+        desc = fse.write_norm_counts(norm, 6)
+        got, al, _ = fse.read_norm_counts(desc)
+        nz = int(np.nonzero(norm)[0][-1]) + 1
+        assert got[:nz] == norm.tolist()[:nz] and al == 6

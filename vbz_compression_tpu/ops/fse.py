@@ -59,11 +59,13 @@ def normalize_counts(freqs: np.ndarray, accuracy_log: int,
 
 
 def write_norm_counts(norm: np.ndarray, accuracy_log: int) -> bytes:
-    """FSE table description (RFC 8878 §4.1.1): 4-bit accuracy code then
-    variable-bit probabilities with zero-repeat runs, little-endian packed."""
+    """FSE table description (RFC 8878 §4.1.1), exact inverse of
+    :func:`read_norm_counts`: a 4-bit accuracy code then variable-width
+    probability fields whose width shrinks as the remaining probability
+    mass drops, with 2-bit repeat flags after zeros."""
+    out = bytearray()
     bits_buf = 0
     bits_n = 0
-    out = bytearray()
 
     def push(value: int, nbits: int):
         nonlocal bits_buf, bits_n
@@ -75,34 +77,30 @@ def write_norm_counts(norm: np.ndarray, accuracy_log: int) -> bytes:
             bits_n -= 8
 
     push(accuracy_log - 5, 4)
-    table_size = 1 << accuracy_log
-    remaining = table_size + 1  # spec: starts at 2^AL + 1
-    s = 0
     norm = np.asarray(norm, dtype=np.int64)
     n_sym = int(np.nonzero(norm != 0)[0][-1]) + 1
-    while s < n_sym and remaining > 1:
-        # probability value: proba = norm[s]; stored value = proba + 1
-        # (so -1 → 0, 0 → 1, ...) using a variable-size field.
-        max_v = remaining + 1          # values representable: 0..max
-        nbits = highbit(max_v) + 1     # full-size field
-        threshold = (1 << nbits) - 1 - max_v
-        v = int(norm[s]) + 1
-        if v < threshold:
-            push(v, nbits - 1)
+    remaining = (1 << accuracy_log) + 1
+    threshold = 1 << accuracy_log
+    nb_bits = accuracy_log + 1
+    s_i = 0
+    while remaining > 1 and s_i < n_sym:
+        proba = int(norm[s_i])
+        value = proba + 1
+        vmax = 2 * threshold - 1 - remaining
+        if value < vmax:
+            push(value, nb_bits - 1)
+        elif value < threshold:
+            push(value, nb_bits)
         else:
-            # large values use full nbits with high-range folding
-            vv = v + threshold if v >= (1 << (nbits - 1)) - threshold else v
-            if v >= (1 << (nbits - 1)) - threshold:
-                push(v + threshold, nbits)
-            else:
-                push(v, nbits - 1)
-        used = int(norm[s]) if norm[s] > 0 else 1
-        remaining -= used if norm[s] != 0 else 0
-        s += 1
-        if norm[s - 1] == 0:
-            # zero-probability run: 2-bit repeat counts
+            push(value + vmax, nb_bits)
+        remaining -= -proba if proba < 0 else proba
+        while remaining < threshold:
+            threshold >>= 1
+            nb_bits -= 1
+        s_i += 1
+        if proba == 0:
             run = 0
-            while s + run < n_sym and norm[s + run] == 0:
+            while s_i + run < n_sym and norm[s_i + run] == 0:
                 run += 1
             r = run
             while True:
@@ -110,7 +108,7 @@ def write_norm_counts(norm: np.ndarray, accuracy_log: int) -> bytes:
                 if r < 3:
                     break
                 r -= 3
-            s += run
+            s_i += run
     if bits_n:
         out.append(bits_buf & 0xFF)
     return bytes(out)
@@ -167,7 +165,7 @@ class CTable:
             if c == 0:
                 continue
             if int(norm[s]) == -1 or c == 1:
-                self.delta_nb_bits[s] = ((accuracy_log + 1) << 16) - \
+                self.delta_nb_bits[s] = (accuracy_log << 16) - \
                     (1 << accuracy_log)
                 self.delta_find_state[s] = int(cumul[s]) - 1
             else:
@@ -228,43 +226,181 @@ class EncState:
 
 
 # ---------------------------------------------------------------------------
+# Reference decoder (spec-faithful; used to debug/validate the encoder)
+# ---------------------------------------------------------------------------
+
+
+class _BitReaderLSB:
+    """Forward LSB-first reader for the table description."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.data[(self.pos + i) >> 3]
+            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        self.pos += n
+        return v
+
+
+def read_norm_counts(data: bytes):
+    """Decode an FSE table description (RFC 8878 §4.1.1). Returns
+    (norm_counts list, accuracy_log, bytes_consumed)."""
+    br = _BitReaderLSB(data)
+    al = br.read(4) + 5
+    remaining = (1 << al) + 1
+    threshold = 1 << al
+    nb_bits = al + 1
+    norm = []
+    while remaining > 1:
+        vmax = 2 * threshold - 1 - remaining
+        low = br.read(nb_bits - 1)
+        if low < vmax:
+            value = low
+        else:
+            msb = br.read(1)
+            full = low | (msb << (nb_bits - 1))
+            value = full if full < threshold else full - vmax
+        proba = value - 1
+        norm.append(proba)
+        remaining -= -proba if proba < 0 else proba
+        while remaining < threshold and threshold > 1:
+            threshold >>= 1
+            nb_bits -= 1
+        if proba == 0:
+            while True:
+                rep = br.read(2)
+                norm.extend([0] * rep)
+                if rep < 3:
+                    break
+    consumed = (br.pos + 7) >> 3
+    return norm, al, consumed
+
+
+class _BitReaderBack:
+    """Backward reader: starts after the final 1-sentinel at the stream end,
+    reads fields MSB-side-first (zstd bitstream convention)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        total = len(data) * 8
+        last = data[-1]
+        assert last != 0, "missing sentinel"
+        self.pos = total - (8 - last.bit_length()) - 1  # skip sentinel bit
+
+    def read(self, n: int) -> int:
+        self.pos -= n
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            if p < 0:
+                continue  # zero-fill past the start
+            v |= ((self.data[p >> 3] >> (p & 7)) & 1) << i
+        return v
+
+
+def build_dtable(norm, al):
+    """Decoding table (spec §4.1.3): per state cell — symbol, nbits,
+    baseline — via the canonical per-symbol counter construction."""
+    norm = np.asarray(norm, dtype=np.int64)
+    table_size = 1 << al
+    spread = spread_symbols(norm, al)
+    eff = np.where(norm == -1, 1, np.maximum(norm, 0))
+    counter = eff.copy()
+    nbits = np.zeros(table_size, dtype=np.int64)
+    baseline = np.zeros(table_size, dtype=np.int64)
+    for i in range(table_size):
+        sym = int(spread[i])
+        x = int(counter[sym])
+        counter[sym] += 1
+        nb = al - (x.bit_length() - 1)
+        nbits[i] = nb
+        baseline[i] = (x << nb) - table_size
+    return spread, nbits, baseline
+
+
+def decompress_weights(payload: bytes):
+    """Decode an FSE-compressed Huffman weight payload (two interleaved
+    states, spec §4.2.1.2). Returns the weight list."""
+    norm, al, consumed = read_norm_counts(payload)
+    spread, nbits, baseline = build_dtable(norm, al)
+    stream = payload[consumed:]
+    br = _BitReaderBack(stream)
+    s1 = br.read(al)
+    s2 = br.read(al)
+    out = []
+    while True:
+        out.append(int(spread[s1]))
+        s1 = int(baseline[s1]) + br.read(int(nbits[s1]))
+        if br.pos < 0:
+            out.append(int(spread[s2]))
+            break
+        out.append(int(spread[s2]))
+        s2 = int(baseline[s2]) + br.read(int(nbits[s2]))
+        if br.pos < 0:
+            out.append(int(spread[s1]))
+            break
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Huffman weight compression (§4.2.1.2: two interleaved states)
 # ---------------------------------------------------------------------------
 
 
 def compress_weights(weights: np.ndarray) -> bytes | None:
-    """FSE-compress a Huffman weight sequence. Returns the payload (table
-    description + bitstream) or None when not profitable/possible."""
+    """FSE-compress a Huffman weight sequence (two interleaved states,
+    mirroring the libzstd encoder structure). Returns the payload
+    (table description + backward bitstream) or None when not profitable."""
     w = np.asarray(weights, dtype=np.int64)
-    if w.size < 2:
+    n = int(w.size)
+    if n < 2:
         return None
     freqs = np.bincount(w, minlength=int(w.max()) + 1)
     if int((freqs > 0).sum()) < 2:
         return None
-    max_al = 6
-    al = min(max_al, max(5, highbit(int(w.size)) ))
-    al = max(al, highbit(int((freqs > 0).sum()) - 1) + 1)
-    al = min(al, max_al)
+    al = min(6, max(5, (n.bit_length() - 2)))
     norm = normalize_counts(freqs, al)
     desc = write_norm_counts(norm, al)
     ct = CTable(norm, al)
-
-    # Two alternating states; encoder processes weights in reverse so the
-    # decoder (reading backward-stream forward) regenerates natural order.
     bw = BitWriter()
-    even = EncState(ct)
-    odd = EncState(ct)
-    rev = w[::-1]
-    # Decoder alternates starting with state1 on the first weight; encoder
-    # must mirror: assign states so that reversal lines up.
-    states = [even, odd]
-    for i, sym in enumerate(rev):
-        states[i & 1].encode(int(sym), bw)
-    # Init states were consumed by first encode; flush both final states,
-    # order chosen so the decoder reads state1 first.
-    states[(w.size - 1) & 1].flush(bw)
-    states[(w.size) & 1].flush(bw)
+
+    c1 = EncState(ct)
+    c2 = EncState(ct)
+    # Decoder: state1 emits even indices, state2 odd. Encoder processes in
+    # reverse; the first symbol each state *inits* with is its last-decoded.
+    if n & 1:
+        c1.init(int(w[n - 1]))
+        c2.init(int(w[n - 2]))
+        ip = n - 3
+        # parity fix: one extra encode into c1
+        if ip >= 0:
+            c1.encode(int(w[ip]), bw)
+            ip -= 1
+    else:
+        c2.init(int(w[n - 1]))
+        c1.init(int(w[n - 2]))
+        ip = n - 3
+    while ip >= 0:
+        c2.encode(int(w[ip]), bw)
+        ip -= 1
+        if ip >= 0:
+            c1.encode(int(w[ip]), bw)
+            ip -= 1
+    c2.flush(bw)
+    c1.flush(bw)
     payload = desc + bw.close()
-    if len(payload) >= 128 or len(payload) >= w.size:
+    if len(payload) >= 128 or len(payload) >= n:
+        return None
+    # Self-verify: weight streams carry no explicit count — the decoder stops
+    # on bitstream exhaustion, which is ambiguous for tables containing
+    # zero-bit states. Only emit payloads that decode back exactly.
+    try:
+        if decompress_weights(payload) != w.tolist():
+            return None
+    except Exception:
         return None
     return payload

@@ -136,9 +136,27 @@ def _reverse_replay(stream: jax.Array, masks) -> jax.Array:
 # Encode
 # ---------------------------------------------------------------------------
 
+ALIGN = 1024        # DMA offsets must be hinted multiples of this (probed)
+ALIGN_ROWS = ALIGN // LANES
 
-def _encode_block_kernel(zz_ref, data_ref, total_ref, state_ref, stage_ref,
-                         sem):
+
+def _dyn_shift_right(x: jax.Array, a, max_bits: int,
+                     min_bit: int = 0) -> jax.Array:
+    """Flat right-shift by a *traced* amount a ∈ [0, 2^max_bits)."""
+    for b in range(min_bit, max_bits):
+        x = jnp.where((a >> b) & 1 == 1, _flat_shift_right(x, 1 << b), x)
+    return x
+
+
+def _dyn_shift_left(x: jax.Array, a, max_bits: int,
+                    min_bit: int = 0) -> jax.Array:
+    for b in range(min_bit, max_bits):
+        x = jnp.where((a >> b) & 1 == 1, _flat_shift_left(x, 1 << b), x)
+    return x
+
+
+def _encode_block_kernel(zz_ref, data_ref, total_ref, state_ref, carry_ref,
+                         stage_ref, sem):
     RV, _ = zz_ref.shape                  # (V//128, 128)
     V = RV * LANES
     k = pl.program_id(0)
@@ -147,6 +165,7 @@ def _encode_block_kernel(zz_ref, data_ref, total_ref, state_ref, stage_ref,
     @pl.when(k == 0)
     def _():
         state_ref[0] = 0
+        carry_ref[:] = jnp.zeros((ALIGN_ROWS, LANES), jnp.int32)
 
     v = zz_ref[:].astype(jnp.int32)       # zig-zag values < 65536
     c = (v > 0xFF).astype(jnp.int32)
@@ -160,18 +179,42 @@ def _encode_block_kernel(zz_ref, data_ref, total_ref, state_ref, stage_ref,
     hi_r = _route_msb(jnp.concatenate([hi, zero_half], axis=0))
     data_bytes = (lo_r | hi_r) & 0xFF     # (2RV, 128): one byte per element
 
+    # The DMA engine requires aligned offsets: write at the ALIGN-floor of
+    # the running offset, pre-shifting our bytes by (off % ALIGN) slots and
+    # merging the carried tail of the previous block (kept in VMEM).
     off = state_ref[0]
-    stage_ref[:] = data_bytes.reshape(2 * V)
+    a = off & (ALIGN - 1)
+    SR = 2 * RV + ALIGN_ROWS              # staged rows
+    ext = jnp.concatenate(
+        [data_bytes, jnp.zeros((ALIGN_ROWS, LANES), jnp.int32)], axis=0)
+    shifted = _dyn_shift_right(ext, a, ALIGN.bit_length() - 1)
+    carry_ext = jnp.concatenate(
+        [carry_ref[:], jnp.zeros((2 * RV, LANES), jnp.int32)], axis=0)
+    staged = shifted | carry_ext
+    stage_ref[:] = staged.reshape(SR * LANES)
+
+    wa = pl.multiple_of(off - a, ALIGN)
     copy = pltpu.make_async_copy(
-        stage_ref, data_ref.at[pl.ds(off, 2 * V)], sem)
+        stage_ref, data_ref.at[pl.ds(wa, SR * LANES)], sem)
     copy.start()
     copy.wait()
 
-    state_ref[0] = off + block_len
+    # New carry: the partial tail [align_floor(new_off), new_off).
+    new_off = off + block_len
+    tail_rel = ((new_off >> 10) << 10) - (off - a)   # multiple of ALIGN
+    tail = _dyn_shift_left(staged, tail_rel, (SR * LANES).bit_length(), min_bit=10)
+    carry_ref[:] = tail[:ALIGN_ROWS]
+    # Mask carry beyond (new_off % ALIGN) so future ORs stay clean.
+    na = new_off & (ALIGN - 1)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (ALIGN_ROWS, LANES), 0) * \
+        LANES + jax.lax.broadcasted_iota(jnp.int32, (ALIGN_ROWS, LANES), 1)
+    carry_ref[:] = jnp.where(cidx < na, carry_ref[:], 0)
+
+    state_ref[0] = new_off
 
     @pl.when(k == nblocks - 1)
     def _():
-        total_ref[0] = off + block_len
+        total_ref[0] = new_off
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
@@ -204,12 +247,14 @@ def encode_int16_zz(zz: jax.Array, block: int = 2048):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((2 * N + 2 * block,), jnp.int32),
+            jax.ShapeDtypeStruct((2 * N + 2 * block + 2 * ALIGN,),
+                                 jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((2 * block,), jnp.int32),
+            pltpu.VMEM((ALIGN_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -236,11 +281,15 @@ def _decode_block_kernel(c_ref, boff_ref, data_ref, out_ref, state_ref,
     E = _flat_prefix_sum_incl(c) - c
 
     bo = boff_ref[0]
+    a = bo & (ALIGN - 1)
+    ra = pl.multiple_of(bo - a, ALIGN)
     copy = pltpu.make_async_copy(
-        data_ref.at[pl.ds(bo, 2 * V)], stage_ref, sem)
+        data_ref.at[pl.ds(ra, 2 * V + ALIGN)], stage_ref, sem)
     copy.start()
     copy.wait()
-    data_bytes = stage_ref[:].reshape(2 * RV, LANES)
+    fetched = stage_ref[:].reshape(2 * RV + ALIGN_ROWS, LANES)
+    data_bytes = _dyn_shift_left(
+        fetched, a, ALIGN.bit_length() - 1)[: 2 * RV]
 
     zero_half = jnp.zeros((RV, LANES), jnp.int32)
     occupied = jnp.concatenate(
@@ -283,7 +332,7 @@ def decode_int16_zz(keys: jax.Array, data_expanded: jax.Array,
     nblocks = N // block
     RV = block // LANES
 
-    need = 2 * N + 2 * block
+    need = 2 * N + 2 * block + 2 * ALIGN
     data_expanded = data_expanded.astype(jnp.int32)
     if data_expanded.shape[0] < need:
         data_expanded = jnp.concatenate(
@@ -310,7 +359,7 @@ def decode_int16_zz(keys: jax.Array, data_expanded: jax.Array,
         out_shape=jax.ShapeDtypeStruct((N // LANES, LANES), jnp.int16),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((2 * block,), jnp.int32),
+            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -202,11 +202,23 @@ def _huffman_block(chunk: np.ndarray) -> bytes | None:
     nbits, code, weights, max_bits = built
     if not _check_implied_weight(weights, max_bits):
         return None
-    try:
-        table = encode_weights_direct(weights)
-    except ValueError:
-        # Alphabets whose last symbol exceeds 127 need FSE-compressed
-        # weights (not yet implemented) — fall back to a raw block.
+    table = None
+    # FSE-compressed weights (headerByte < 128) — required for alphabets
+    # whose last symbol exceeds 127, preferred whenever smaller.
+    from . import fse
+
+    last = int(np.nonzero(weights > 0)[0][-1])
+    payload = fse.compress_weights(weights[:last])
+    if payload is not None:
+        table = bytes([len(payload)]) + payload
+    if last <= 127:
+        try:
+            direct = encode_weights_direct(weights)
+        except ValueError:
+            direct = None
+        if direct is not None and (table is None or len(direct) < len(table)):
+            table = direct
+    if table is None:
         return None
 
     if chunk.size < 6 or (chunk.size < (1 << 10)
