@@ -68,7 +68,49 @@ def tpu_codec_gbps() -> float:
     #   executes FIFO), force only the LAST result, and take the slope
     #   between two values of R — RPC latency and dispatch overhead cancel.
     B, N = 4, 4 * 1024 * 1024  # 4 rows × 8 MiB of int16
+    BLOCK = 2048
     sig = make_signal(B * N).reshape(B, N)
+
+    # Preferred path: Pallas kernels (block-local butterfly routing in
+    # VMEM). Falls back to the XLA gather-free formulation if the kernels
+    # fail to compile on this backend.
+    try:
+        from vbz_compression_tpu.ops import pallas_codec2 as pc2
+
+        @jax.jit
+        def enc_p(x):
+            zz = jax_svb.zigzag_delta_fwd(x, 2)
+            return pc2.encode_int16_zz(zz, block=BLOCK)
+
+        @jax.jit
+        def dec_p(keys, data):
+            kb = keys.astype(jnp.uint32)
+            codes = jnp.stack(
+                [kb & 3, (kb >> 2) & 3, (kb >> 4) & 3, (kb >> 6) & 3],
+                axis=1).reshape(-1)
+            lens = (jnp.minimum(codes, 1) + 1).astype(jnp.int32)
+            bsum = lens.reshape(-1, BLOCK).sum(axis=1)
+            boffs = (jnp.cumsum(bsum) - bsum).astype(jnp.int32)
+            return pc2.decode_int16_zz(keys, data.astype(jnp.int32), boffs,
+                                       block=BLOCK)
+
+        x0 = jax.device_put(jnp.asarray(sig[0]))
+        k0, d0, t0_ = enc_p(x0)
+        o0 = dec_p(k0, d0)
+        m = int(jnp.sum(jnp.abs(o0.astype(jnp.int32)
+                                - x0.astype(jnp.int32)))[None][0])
+        assert m == 0, f"pallas round-trip mismatch: {m}"
+
+        xs = [jax.device_put(jnp.asarray(row)) for row in sig]
+        encoded = [enc_p(row) for row in xs]
+        enc_calls = [lambda row=row: enc_p(row)[1] for row in xs]
+        dec_calls = [lambda k=k, d=d: dec_p(k, d)
+                     for (k, d, _t) in encoded]
+        print("# path: pallas kernels", file=sys.stderr)
+        return _measure(enc_calls, dec_calls, N)
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        print(f"# pallas path unavailable ({type(exc).__name__}); "
+              f"falling back to XLA", file=sys.stderr)
 
     enc = jax.jit(lambda x, n: jax_svb.encode_chunk(x, n, 2, True))
     dec = jax.jit(lambda s, n, l: jax_svb.decode_chunk(s, n, l, 2, True, N))
@@ -92,8 +134,20 @@ def tpu_codec_gbps() -> float:
         m = int(mismatch(row_dev, o, ok)[None][0])
         assert m == 0, f"round-trip mismatch on device: {m}"
 
+    enc_calls = [lambda row=row: enc(row, nb)[0] for row in xs]
+    dec_calls = [lambda s=s, t=t: dec(s, nb, t)[0]
+                 for s, t in zip(streams, totals)]
+    return _measure(enc_calls, dec_calls, N)
+
+
+def _measure(enc_calls, dec_calls, n_values):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
     def fence(arr):
-        return float(jnp.sum(arr.astype(jnp.int32)[:8])[None][0])
+        return float(jnp.sum(arr.astype(jnp.int32).ravel()[:8])[None][0])
 
     def run_passes(fn_calls, r):
         t0 = time.perf_counter()
@@ -104,10 +158,6 @@ def tpu_codec_gbps() -> float:
         fence(last)
         return time.perf_counter() - t0
 
-    enc_calls = [lambda row=row: enc(row, nb)[0] for row in xs]
-    dec_calls = [lambda s=s, t=t: dec(s, nb, t)[0]
-                 for s, t in zip(streams, totals)]
-
     r_lo, r_hi = 2, 8
     run_passes(enc_calls, 1)  # warm fence path
     enc_s = (run_passes(enc_calls, r_hi) - run_passes(enc_calls, r_lo)) / (
@@ -116,7 +166,7 @@ def tpu_codec_gbps() -> float:
     dec_s = (run_passes(dec_calls, r_hi) - run_passes(dec_calls, r_lo)) / (
         (r_hi - r_lo) * len(dec_calls))
 
-    nbytes = N * 2  # per call
+    nbytes = n_values * 2  # per call
     enc_s = max(enc_s, 1e-9)
     dec_s = max(dec_s, 1e-9)
 

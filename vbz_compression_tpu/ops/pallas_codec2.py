@@ -280,7 +280,7 @@ def _decode_block_kernel(c_ref, boff_ref, data_ref, out_ref, state_ref,
     c = c_ref[:].astype(jnp.int32)        # hi-byte flags from the keys
     E = _flat_prefix_sum_incl(c) - c
 
-    bo = boff_ref[0]
+    bo = boff_ref[k]
     a = bo & (ALIGN - 1)
     ra = pl.multiple_of(bo - a, ALIGN)
     copy = pltpu.make_async_copy(
@@ -351,7 +351,7 @@ def decode_int16_zz(keys: jax.Array, data_expanded: jax.Array,
         in_specs=[
             pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((RV, LANES), lambda i: (i, 0),
@@ -363,5 +363,5 @@ def decode_int16_zz(keys: jax.Array, data_expanded: jax.Array,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(c_all, block_offsets, data_expanded)
+    )(c_all, block_offsets.astype(jnp.int32), data_expanded)
     return out.reshape(N)
