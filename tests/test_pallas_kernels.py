@@ -1,0 +1,79 @@
+"""Pallas codec kernel tests (interpret mode — validates semantics; the
+on-chip bit-exactness is exercised by bench.py on real hardware)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from vbz_compression_tpu.ops import scalar
+from vbz_compression_tpu.ops import pallas_codec2 as pc2
+
+
+def _roundtrip(sig: np.ndarray, block: int):
+    N = sig.size
+    zz = scalar.zigzag_delta_encode(sig, 2)
+    ref = scalar.svb_compress(sig, 2, True, 0)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total = pc2.encode_int16_zz(jnp.asarray(zz), block=block)
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).tobytes()[: int(total)]
+    assert stream == ref, "encode not bit-exact"
+
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    codes = (np.repeat(keysA, 4)
+             >> np.tile(np.array([0, 2, 4, 6], np.uint8), keysA.size)) & 3
+    bsum = (np.minimum(codes, 1) + 1).reshape(-1, block).sum(1)
+    boffs = np.concatenate([[0], np.cumsum(bsum)[:-1]]).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = pc2.decode_int16_zz(
+            jnp.asarray(keysA), jnp.asarray(datab.astype(np.int32)),
+            jnp.asarray(boffs), block=block)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+@pytest.mark.parametrize("block", [512, 2048])
+def test_pallas_roundtrip_signal(block):
+    rng = np.random.default_rng(0)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 4096)),
+                  -2000, 2000).astype(np.int16)
+    _roundtrip(sig, block)
+
+
+def test_pallas_roundtrip_extremes():
+    # Saturating alternation exercises the 16-bit wrap and all-2-byte codes.
+    sig = np.tile(np.array([-32768, 32767], np.int16), 2048)
+    _roundtrip(sig, 2048)
+
+
+def test_pallas_roundtrip_constant():
+    # All-zero deltas: every code 0, one byte per value.
+    sig = np.full(4096, 123, np.int16)
+    _roundtrip(sig, 2048)
+
+
+def test_route_msb_collision_free():
+    """Numeric validation of the monotone MSB-first routing theorem."""
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        V = int(rng.integers(2, 200))
+        lens = rng.integers(1, 3, V)
+        off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        d = off - np.arange(V)
+        x = np.zeros(2 * V, np.int64)
+        x[:V] = (d.astype(np.int64) << 20) | (np.arange(V) + 1)
+        stages = max(int(d.max()).bit_length(), 1)
+        for j in range(stages - 1, -1, -1):
+            rolled = np.concatenate([np.zeros(1 << j, np.int64),
+                                     x[: -(1 << j)]])
+            bit_r = (rolled >> (20 + j)) & 1
+            bit_s = (x >> (20 + j)) & 1
+            new = np.where(bit_r == 1, rolled, np.where(bit_s == 0, x, 0))
+            assert (x != 0).sum() == (new != 0).sum(), "collision"
+            x = new
+        pay = x & ((1 << 20) - 1)
+        for i in range(V):
+            assert pay[off[i]] == i + 1
