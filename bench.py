@@ -158,13 +158,19 @@ def _measure(enc_calls, dec_calls, n_values):
         fence(last)
         return time.perf_counter() - t0
 
-    r_lo, r_hi = 2, 8
+    # The fence RPC costs 0.1-0.35 s with high variance; make the measured
+    # device time dominate it and take the median of several slopes.
+    r_lo, r_hi = 4, 44
     run_passes(enc_calls, 1)  # warm fence path
-    enc_s = (run_passes(enc_calls, r_hi) - run_passes(enc_calls, r_lo)) / (
-        (r_hi - r_lo) * len(enc_calls))
+    enc_samples = sorted(
+        (run_passes(enc_calls, r_hi) - run_passes(enc_calls, r_lo)) / (
+            (r_hi - r_lo) * len(enc_calls)) for _ in range(3))
+    enc_s = enc_samples[1]
     run_passes(dec_calls, 1)
-    dec_s = (run_passes(dec_calls, r_hi) - run_passes(dec_calls, r_lo)) / (
-        (r_hi - r_lo) * len(dec_calls))
+    dec_samples = sorted(
+        (run_passes(dec_calls, r_hi) - run_passes(dec_calls, r_lo)) / (
+            (r_hi - r_lo) * len(dec_calls)) for _ in range(3))
+    dec_s = dec_samples[1]
 
     nbytes = n_values * 2  # per call
     enc_s = max(enc_s, 1e-9)
