@@ -68,31 +68,23 @@ def tpu_codec_gbps() -> float:
     #   executes FIFO), force only the LAST result, and take the slope
     #   between two values of R — RPC latency and dispatch overhead cancel.
     B, N = 4, 4 * 1024 * 1024  # 4 rows × 8 MiB of int16
-    BLOCK = 2048
+    BLOCK = 16384
     sig = make_signal(B * N).reshape(B, N)
 
-    # Preferred path: Pallas kernels (block-local butterfly routing in
-    # VMEM). Falls back to the XLA gather-free formulation if the kernels
-    # fail to compile on this backend.
+    # Preferred path: Pallas kernels (single-channel u16 butterfly routing
+    # in VMEM, fused delta+zigzag). Falls back to the XLA gather-free
+    # formulation if the kernels fail to compile on this backend.
     try:
-        from vbz_compression_tpu.ops import pallas_codec2 as pc2
+        from vbz_compression_tpu.ops import pallas_codec3 as pc3
 
         @jax.jit
         def enc_p(x):
-            zz = jax_svb.zigzag_delta_fwd(x, 2)
-            return pc2.encode_int16_zz(zz, block=BLOCK)
+            return pc3.encode_int16(x, block=BLOCK)
 
         @jax.jit
         def dec_p(keys, data):
-            kb = keys.astype(jnp.uint32)
-            codes = jnp.stack(
-                [kb & 3, (kb >> 2) & 3, (kb >> 4) & 3, (kb >> 6) & 3],
-                axis=1).reshape(-1)
-            lens = (jnp.minimum(codes, 1) + 1).astype(jnp.int32)
-            bsum = lens.reshape(-1, BLOCK).sum(axis=1)
-            boffs = (jnp.cumsum(bsum) - bsum).astype(jnp.int32)
-            return pc2.decode_int16_zz(keys, data.astype(jnp.int32), boffs,
-                                       block=BLOCK)
+            boffs = pc3.block_offsets_from_keys(keys, BLOCK)
+            return pc3.decode_int16(keys, data, boffs, block=BLOCK)
 
         x0 = jax.device_put(jnp.asarray(sig[0]))
         k0, d0, t0_ = enc_p(x0)

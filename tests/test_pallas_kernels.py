@@ -10,6 +10,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vbz_compression_tpu.ops import scalar
 from vbz_compression_tpu.ops import pallas_codec2 as pc2
+from vbz_compression_tpu.ops import pallas_codec3 as pc3
 
 
 def _roundtrip(sig: np.ndarray, block: int):
@@ -53,6 +54,39 @@ def test_pallas_roundtrip_constant():
     # All-zero deltas: every code 0, one byte per value.
     sig = np.full(4096, 123, np.int16)
     _roundtrip(sig, 2048)
+
+
+def _roundtrip3(sig: np.ndarray, block: int):
+    """v3 kernels: fused delta+zigzag encode + single-channel decode,
+    bit-exact vs the oracle (on-chip exactness re-checked by bench.py)."""
+    N = sig.size
+    ref = scalar.svb_compress(sig, 2, True, 0)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total = pc3.encode_int16(jnp.asarray(sig), block=block)
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
+    assert stream == ref, "v3 encode not bit-exact"
+
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    boffs = pc3.block_offsets_from_keys(jnp.asarray(keysA), block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pc3.decode_int16(
+            jnp.asarray(keysA), jnp.asarray(datab.astype(np.int32)),
+            boffs, block=block)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+def test_pallas3_roundtrip_signal():
+    rng = np.random.default_rng(0)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 1024)),
+                  -2000, 2000).astype(np.int16)
+    _roundtrip3(sig, 512)
+
+
+def test_pallas3_roundtrip_extremes():
+    sig = np.tile(np.array([-32768, 32767], np.int16), 512)
+    _roundtrip3(sig, 512)
 
 
 def test_route_msb_collision_free():

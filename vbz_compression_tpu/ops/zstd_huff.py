@@ -192,10 +192,57 @@ def _literals_header(regenerated: int, compressed: int,
     return int(bits).to_bytes(5, "little")
 
 
+def raw_literals_section(chunk: np.ndarray) -> bytes:
+    """Raw_Literals_Block section: header + the literal bytes verbatim."""
+    n = int(chunk.size)
+    if n < 32:
+        header = bytes([0 | (n << 3)])
+    elif n < (1 << 12):
+        header = int(0 | (0b01 << 2) | (n << 4)).to_bytes(2, "little")
+    else:
+        assert n < (1 << 20)
+        header = int(0 | (0b11 << 2) | (n << 4)).to_bytes(3, "little")
+    return header + chunk.tobytes()
+
+
+def literals_section(chunk: np.ndarray) -> bytes:
+    """Best literals section for ``chunk``: Huffman-compressed when it wins,
+    RLE when constant, raw otherwise."""
+    n = int(chunk.size)
+    if n == 0:
+        return bytes([0])  # raw, size 0
+    if np.all(chunk == chunk[0]):
+        # RLE_Literals_Block (type 1): same size formats as raw, 1 data byte.
+        if n < 32:
+            header = bytes([1 | (n << 3)])
+        elif n < (1 << 12):
+            header = int(1 | (0b01 << 2) | (n << 4)).to_bytes(2, "little")
+        else:
+            header = int(1 | (0b11 << 2) | (n << 4)).to_bytes(3, "little")
+        return header + bytes([int(chunk[0])])
+    compressed = compressed_literals_section(chunk)
+    raw = raw_literals_section(chunk)
+    if compressed is not None and len(compressed) < len(raw):
+        return compressed
+    return raw
+
+
 def _huffman_block(chunk: np.ndarray) -> bytes | None:
-    """Compressed_Block content for one ≤BLOCK_MAX literals run (4-stream
-    Huffman for blocks > 1023 bytes, 1-stream below), or None when raw wins.
-    """
+    """Compressed_Block content for one ≤BLOCK_MAX literals run: best
+    literals section + "0 sequences", or None when a Raw_Block wins."""
+    content_sec = compressed_literals_section(chunk)
+    if content_sec is None:
+        return None
+    content = content_sec + b"\x00"  # 0 sequences
+    if len(content) >= chunk.size:
+        return None
+    return content
+
+
+def compressed_literals_section(chunk: np.ndarray) -> bytes | None:
+    """Compressed_Literals_Block section (header + tree + streams) for one
+    ≤BLOCK_MAX literals run (4-stream Huffman for blocks > 1023 bytes,
+    1-stream below), or None when Huffman does not win."""
     built = build_codes(chunk)
     if built is None:
         return None
@@ -246,10 +293,7 @@ def _huffman_block(chunk: np.ndarray) -> bytes | None:
             return None
         header = _literals_header(chunk.size, lit_compressed, True)
         stream = jump + b"".join(streams)
-    content = header + table + stream + b"\x00"  # 0 sequences
-    if len(content) >= chunk.size:
-        return None
-    return content
+    return header + table + stream
 
 
 def compress_frame(data: bytes, level_hint: int = 1) -> bytes:
