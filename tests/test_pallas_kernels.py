@@ -89,6 +89,50 @@ def test_pallas3_roundtrip_extremes():
     _roundtrip3(sig, 512)
 
 
+def _roundtrip3_flavor(sig: np.ndarray, block: int, flavor: str,
+                       integer_size: int, use_zigzag: bool):
+    """Width-generalized v3 kernels vs the oracle (full on-chip sweep runs
+    in the driver; these interpret cases pin the per-flavor semantics)."""
+    N = sig.size
+    ref = scalar.svb_compress(sig, integer_size, use_zigzag, 0)
+    wide = flavor in pc3.W4_FLAVORS
+    enc = pc3.encode_w4 if wide else pc3.encode_w2
+    dec = pc3.decode_w4 if wide else pc3.decode_w2
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total = enc(jnp.asarray(sig), block=block, flavor=flavor)
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
+    assert stream == ref, f"{flavor} encode not bit-exact"
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    boffs = pc3.block_offsets_from_keys(jnp.asarray(keysA), block,
+                                        four_byte_codes=wide)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        out = dec(jnp.asarray(keysA), jnp.asarray(datab.astype(np.int32)),
+                  boffs, block=block, flavor=flavor)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+def test_pallas3_zz8():
+    rng = np.random.default_rng(1)
+    sig = np.clip(np.cumsum(rng.normal(0, 3, 1024)), -100, 100).astype(np.int8)
+    _roundtrip3_flavor(sig, 512, "zz8", 1, True)
+
+
+def test_pallas3_zz32():
+    rng = np.random.default_rng(2)
+    sig = np.clip(5e4 + np.cumsum(rng.normal(0, 3e3, 1024)),
+                  -8e6, 8e6).astype(np.int32)
+    _roundtrip3_flavor(sig, 512, "zz32", 4, True)
+
+
+def test_pallas3_none16_sign_extends():
+    # No-zigzag widens by SIGN-EXTENSION: negative int16 → 4-byte codes.
+    rng = np.random.default_rng(3)
+    sig = rng.integers(-32768, 32768, 1024).astype(np.int16)
+    _roundtrip3_flavor(sig, 512, "none16", 2, False)
+
+
 def test_route_msb_collision_free():
     """Numeric validation of the monotone MSB-first routing theorem."""
     rng = np.random.default_rng(1)

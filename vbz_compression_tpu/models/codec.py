@@ -98,4 +98,146 @@ class JaxSvbBackend:
         return np.asarray(out[:count])
 
 
+_PALLAS_FLAVOR = {(2, True): "zz16", (2, False): "none16",
+                  (1, True): "zz8", (1, False): "none8",
+                  (4, True): "zz32", (4, False): "none32"}
+
+
+class PallasSvbBackend(JaxSvbBackend):
+    """StreamVByte stage on the Pallas TPU kernels (butterfly routing in
+    VMEM, :mod:`..ops.pallas_codec3`) for v0 streams on TPU hardware;
+    falls back to the XLA formulation elsewhere (CPU, v1 nibble streams).
+
+    Unsized tails are handled by *code-0 padding*: the input is padded to a
+    block multiple with repeats of its last value (zig-zag delta 0 → code 0,
+    matching the zeroed trailing key bits the reference writes,
+    ``streamvbyte_encode``'s (count+3)/4 key layout), then the key and data
+    sections are truncated to the exact (n+3)/4 and n+E(n) byte lengths.
+    """
+
+    def __init__(self, device=None):
+        super().__init__(device)
+        self._on_tpu = None
+
+    def _pallas_ok(self) -> bool:
+        if self._on_tpu is None:
+            try:
+                self._on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:  # pragma: no cover
+                self._on_tpu = False
+        return self._on_tpu
+
+    @staticmethod
+    def _block_for(flavor: str, N: int, integer_size: int) -> int:
+        from ..ops import pallas_codec3 as pc3
+
+        # Displacement bits bound the block: 16384 for the 2-byte kernel,
+        # 8192 for the 4-byte one (see pallas_codec3 module docstring).
+        max_block = 8192 if flavor in pc3.W4_FLAVORS else 16384
+        b = pc3.MIN_BLOCK[flavor]
+        while b * 2 <= min(N, max_block):
+            b *= 2
+        return b
+
+    def svb_compress(self, data, integer_size: int, use_zigzag: bool,
+                     version: int) -> bytes:
+        if not self._pallas_ok() or (version == 1 and integer_size == 1):
+            return super().svb_compress(data, integer_size, use_zigzag,
+                                        version)
+        from ..ops import pallas_codec3 as pc3
+
+        raw = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(
+            data, np.ndarray) else np.ascontiguousarray(
+                data).view(np.uint8).ravel()
+        if raw.size % integer_size != 0:
+            from ..errors import VBZ_INPUT_SIZE_ERROR
+            raise VbzError(VBZ_INPUT_SIZE_ERROR,
+                           f"{raw.size} % {integer_size} != 0")
+        typed = raw.view(_SIGNED_FOR_SIZE[integer_size])
+        n = typed.size
+        if n == 0:
+            return b""
+        flavor = _PALLAS_FLAVOR[(integer_size, use_zigzag)]
+        wide = flavor in pc3.W4_FLAVORS
+        block = self._block_for(flavor, bucket_size(n), integer_size)
+        N = max(bucket_size(n), block)
+        x = np.full(N, typed[-1] if use_zigzag else 0, dtype=typed.dtype)
+        x[:n] = typed
+        if wide:
+            keys, data_x, _ = pc3.encode_w4(jnp.asarray(x), block=block,
+                                            flavor=flavor)
+        else:
+            keys, data_x, _ = pc3.encode_w2(jnp.asarray(x), block=block,
+                                            flavor=flavor)
+        key_len = (n + 3) // 4
+        keys_np = np.asarray(keys)
+        codes = (np.repeat(keys_np[:key_len], 4) >> np.tile(
+            np.array([0, 2, 4, 6], np.uint8), key_len)) & 3
+        if wide:
+            lens = codes[:n].astype(np.int64) + 1
+        else:
+            lens = np.minimum(codes[:n], 1).astype(np.int64) + 1
+        data_len = int(lens.sum())
+        dense = np.asarray(
+            jax.jit(lambda d, m: d[:m].astype(jnp.uint8),
+                    static_argnums=1)(data_x, data_len))
+        return keys_np[:key_len].tobytes() + dense.tobytes()
+
+    def svb_decompress(self, stream, count: int, integer_size: int,
+                       use_zigzag: bool, version: int) -> np.ndarray:
+        if not self._pallas_ok() or (version == 1 and integer_size == 1):
+            return super().svb_decompress(stream, count, integer_size,
+                                          use_zigzag, version)
+        from ..ops import pallas_codec3 as pc3
+
+        buf = np.frombuffer(bytes(stream), dtype=np.uint8) if not isinstance(
+            stream, np.ndarray) else stream.astype(np.uint8, copy=False)
+        in_len = buf.size
+        if count == 0 or in_len == 0:
+            if in_len != count:
+                raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR,
+                               "empty stream mismatch")
+            return np.zeros(0, dtype=_SIGNED_FOR_SIZE[integer_size])
+        key_len = (count + 3) // 4
+        if in_len < key_len:
+            raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR, "stream too short")
+        keys = buf[:key_len]
+        codes = (np.repeat(keys, 4) >> np.tile(
+            np.array([0, 2, 4, 6], np.uint8), key_len)) & 3
+        flavor = _PALLAS_FLAVOR[(integer_size, use_zigzag)]
+        from ..ops import pallas_codec3 as _pc3
+        wide = flavor in _pc3.W4_FLAVORS
+        if wide:
+            lens = codes[:count].astype(np.int64) + 1
+        else:
+            if (codes[:count] > 1).any():
+                raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR,
+                               "invalid code for width")
+            lens = np.minimum(codes[:count], 1).astype(np.int64) + 1
+        if (codes[count:] != 0).any():
+            raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR,
+                           "nonzero trailing key bits")
+        # streamvbyte_validate_stream semantics (v0/impl.h:49-51).
+        if key_len + int(lens.sum()) != in_len:
+            raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR,
+                           "stream length mismatch")
+        block = self._block_for(flavor, bucket_size(count), integer_size)
+        N = max(bucket_size(count), block)
+        keys_pad = np.zeros(N // 4, np.uint8)
+        keys_pad[:key_len] = keys
+        # Pad codes are 0 → each pad value reads 1 byte past the real data;
+        # supply zeros there (the kernel pads the expanded buffer itself).
+        data_np = buf[key_len:].astype(np.int32)
+        boffs = _pc3.block_offsets_from_keys(
+            jnp.asarray(keys_pad), block, four_byte_codes=wide)
+        if wide:
+            out = _pc3.decode_w4(jnp.asarray(keys_pad), jnp.asarray(data_np),
+                                 boffs, block=block, flavor=flavor)
+        else:
+            out = _pc3.decode_w2(jnp.asarray(keys_pad), jnp.asarray(data_np),
+                                 boffs, block=block, flavor=flavor)
+        return np.asarray(out[:count])
+
+
 jax_backend = JaxSvbBackend()
+pallas_backend = PallasSvbBackend()

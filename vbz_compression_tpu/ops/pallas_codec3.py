@@ -1,35 +1,49 @@
-"""Pallas TPU codec kernels, v3 — single-channel u16 butterfly routing.
+"""Pallas TPU codec kernels, v3 — single-channel butterfly routing, all widths.
 
-Halves the routing work of :mod:`.pallas_codec2` and fuses the signal
-transform into the kernels:
+Improvements over :mod:`.pallas_codec2`:
 
-- **One routed channel instead of two.** A StreamVByte int16 value emits its
-  lo byte at position ``p = i + E(i)`` and (iff 2-byte) its hi byte at
-  ``p + 1``.  Since ``hi == 0`` exactly when the value is 1-byte, the dense
-  data section satisfies ``byte[q] = lo(q) | hi(q-1)`` where the *whole u16*
-  ``lo | hi<<8`` of value ``i`` is routed once to slot ``p``.  Encode routes
-  one channel of ``V`` occupied slots (vs two in v2); decode reverse-replays
-  one channel (vs two), after re-assembling ``w[q] = byte[q] | byte[q+1]<<8``.
-- **Fused transform.** Encode takes the *raw int16 signal* and computes the
-  16-bit wrapped delta + zig-zag in-kernel (carrying the previous block's
-  last sample in SMEM), mirroring the reference's fused SSSE3 loop
-  (``vbz/v0/vbz_streamvbyte_impl_sse3.h:424-447``) and saving one HBM round
-  trip over materializing the zig-zag array.  Decode already fused the
-  inverse (un-zigzag + prefix-sum un-delta + cross-block carry).
-- **Parametric block size.** Displacement needs ``ceil(log2(V))`` bits; the
-  channel word packs payload[0:16) | occupancy[16] | displacement[17:31),
-  allowing blocks up to 16384 values.  Bigger blocks amortize per-grid-step
-  overhead (measured: 2048→4096 alone was ~1.4x).
+- **One routed channel per value instead of one per byte.** A StreamVByte
+  value's bytes are contiguous, so the whole little-endian payload is routed
+  *once* to the byte slot ``p = i + E(i) + a`` (``E`` = exclusive prefix sum
+  of extra byte counts, ``a`` = DMA misalignment, below) and the dense byte
+  stream is then assembled with static flat shifts: ``byte[q] |=`` byte ``k``
+  of the value landed at ``q-k``. Encode routes one channel (two for the
+  4-byte width); v2 routed one per byte.
+- **Fused transform.** Encode takes the *raw signal* and computes the
+  delta + zig-zag in-kernel (carrying the previous block's last sample in
+  SMEM), mirroring the reference's fused SSSE3 loop
+  (``vbz/v0/vbz_streamvbyte_impl_sse3.h:424-447``); width semantics follow
+  the reference exactly — 16-bit *wrapped* deltas for int16 (the SSE
+  specialization), 32-bit deltas for int8/int32 (the generic path,
+  ``vbz/v0/vbz_streamvbyte_impl.h:24-34``). Decode fuses the inverse
+  (un-zigzag + prefix-sum un-delta + cross-block carry).
+- **DMA alignment fused into the routing.** Dynamic-offset DMA requires
+  1024-multiple offsets (probed); instead of dynamically shifting staged
+  bytes by ``off % ALIGN`` (a 10-stage select ladder), the misalignment is
+  *added to every routing displacement*, so bytes land DMA-aligned.
+- **Parametric block size.** Displacement needs
+  ``ceil(log2(maxd*V + ALIGN))`` bits out of the 15 available
+  (bits [17,32) of the channel word; the top one spills into the i32 sign
+  bit, harmless since every access masks): blocks to 16384 values for the
+  2-byte widths, 8192 for the 4-byte widths.
 
 Channel-word layout::
 
-    bits [0,16)   u16 payload (lo | hi<<8 of the zig-zag value)
+    bits [0,16)   u16 payload slice (lo | hi<<8)
     bit  16       occupancy
-    bits [17,31)  remaining rightward displacement (MSB-first push)
+    bits [17,32)  remaining rightward displacement (MSB-first push)
 
 IO stays "expanded" (one data-section byte per i32 element) so dynamic-offset
 DMA remains element-aligned; dense u8 packing happens in cheap XLA passes
 outside (see pallas_codec2.py module docstring for the rationale).
+
+Flavors (`integer_size`, `use_zigzag`) → (kernel, transform):
+    (2, True)  'zz16'   wrapped 16-bit delta + zigzag, W2 kernel [hot path]
+    (1, True)  'zz8'    32-bit delta + zigzag (values <= 510), W2 kernel
+    (4, True)  'zz32'   wrapped 32-bit delta + zigzag, W4 kernel
+    (4, False) 'none32' identity u32, W4 kernel
+    (2, False) 'none16' SIGN-EXTENDED identity (1-4 bytes!), W4 kernel
+    (1, False) 'none8'  SIGN-EXTENDED identity (1-4 bytes!), W4 kernel
 """
 
 from __future__ import annotations
@@ -46,7 +60,6 @@ from .pallas_codec2 import (
     ALIGN_ROWS,
     LANES,
     _dyn_shift_left,
-    _dyn_shift_right,
     _flat_prefix_sum_incl,
     _flat_shift_left,
     _flat_shift_right,
@@ -54,22 +67,44 @@ from .pallas_codec2 import (
 
 OCC_BIT = 16
 D_SHIFT = 17
-MAX_BLOCK = 16384  # displacement field is 14 bits: E(i) <= V-1 < 2^14
+
+# No-zigzag flavors use the 4-byte kernel regardless of input width: the
+# reference widens by SIGN-EXTENSION (vbz/v0/vbz_streamvbyte_impl.h:24,
+# scalar.widen_values), so negative int8/int16 values encode as 4 bytes.
+W2_FLAVORS = ("zz16", "zz8")
+W4_FLAVORS = ("zz32", "none32", "none16", "none8")
+
+_INPUT_DTYPE = {"zz16": jnp.int16, "none16": jnp.int16,
+                "zz8": jnp.int8, "none8": jnp.int8,
+                "zz32": jnp.int32, "none32": jnp.int32}
+# Minimum ON-CHIP block: the input/output BlockSpec needs the dtype's full
+# sublane tile ((16,128) for i16, (32,128) for i8, (8,128) for i32). The
+# kernels themselves accept any multiple of 512 (interpret-mode tests use
+# small blocks); integration wrappers must respect MIN_BLOCK on hardware.
+MIN_BLOCK = {"zz16": 2048, "none16": 2048, "zz8": 4096, "none8": 4096,
+             "zz32": 1024, "none32": 1024}
 
 
-def _d_bits(block: int) -> int:
-    return max((block - 1).bit_length(), 1)
+def _d_bits(block: int, max_extra: int) -> int:
+    """Bits for displacement = max_extra*(V-1) + (ALIGN-1)."""
+    return max((max_extra * (block - 1) + ALIGN - 1).bit_length(), 1)
 
 
-def _route_msb(chan: jax.Array, d_bits: int) -> jax.Array:
-    """MSB-first monotone push routing; empty slots are all-zero."""
+def _route_msb(chan: jax.Array, d_bits: int, extras=()):
+    """MSB-first monotone push routing; empty slots are all-zero. ``extras``
+    are payload-only arrays moved with the same per-stage decisions."""
+    extras = list(extras)
     for j in range(d_bits - 1, -1, -1):
         rolled = _flat_shift_right(chan, 1 << j)
         bit_rolled = (rolled >> (D_SHIFT + j)) & 1
         bit_stay = (chan >> (D_SHIFT + j)) & 1
         chan = jnp.where(bit_rolled == 1, rolled,
                          jnp.where(bit_stay == 0, chan, 0))
-    return chan
+        for t, e in enumerate(extras):
+            er = _flat_shift_right(e, 1 << j)
+            extras[t] = jnp.where(bit_rolled == 1, er,
+                                  jnp.where(bit_stay == 0, e, 0))
+    return (chan, *extras)
 
 
 def _route_msb_masks(d: jax.Array, occupied: jax.Array, d_bits: int):
@@ -88,14 +123,15 @@ def _route_msb_masks(d: jax.Array, occupied: jax.Array, d_bits: int):
     return masks
 
 
-def _reverse_replay(stream: jax.Array, masks) -> jax.Array:
-    x = stream
+def _reverse_replay(streams, masks):
+    xs = list(streams)
     for j, moved_in, stayed in reversed(masks):
-        pulled = _flat_shift_left(x, 1 << j)
         was_source = _flat_shift_left(moved_in, 1 << j)
-        x = jnp.where(stayed == 1, x,
-                      jnp.where(was_source == 1, pulled, 0))
-    return x
+        for t, x in enumerate(xs):
+            pulled = _flat_shift_left(x, 1 << j)
+            xs[t] = jnp.where(stayed == 1, x,
+                              jnp.where(was_source == 1, pulled, 0))
+    return xs
 
 
 def _last_slot(x: jax.Array) -> jax.Array:
@@ -107,11 +143,65 @@ def _last_slot(x: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Encode
+# Fused transforms (encode side; prev carried across blocks in SMEM)
 # ---------------------------------------------------------------------------
 
 
-def _encode_kernel_factory(d_bits: int):
+def _fwd_transform(flavor: str, xi: jax.Array, prev0):
+    """Raw widened input + previous sample → zig-zag/identity values, plus
+    the value to carry as ``prev`` for the next block."""
+    RV = xi.shape[0]
+    if flavor in ("none16", "none8", "none32"):
+        # Identity over the SIGN-EXTENDED 32-bit widening (scalar.widen_values
+        # semantics): xi already arrives sign-extended.
+        return xi, jnp.int32(0)
+    prev_arr = _flat_shift_right(xi, 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (RV, LANES), 0)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (RV, LANES), 1)
+    prev_arr = jnp.where((ridx == 0) & (lidx == 0), prev0, prev_arr)
+    if flavor == "zz16":
+        # 16-bit wrapped delta (sse3.h:431-440 semantics).
+        d16 = (xi - prev_arr) & 0xFFFF
+        v = ((d16 << 1) & 0xFFFF) ^ ((d16 >> 15) * 0xFFFF)
+    else:
+        # 32-bit delta (generic path, v0/impl.h:24-34); wraps mod 2^32 for
+        # int32, exact for int8 (range ±255 → zigzag ≤ 510).
+        d = xi - prev_arr
+        v = (d << 1) ^ (d >> 31)
+    return v, _last_slot(xi)
+
+
+def _xla_values(flavor: str, x: jax.Array) -> jax.Array:
+    """The same transform in plain XLA (for key-byte computation)."""
+    xi = x.astype(jnp.int32)       # sign-extends for int8/int16
+    if flavor in ("none16", "none8", "none32"):
+        return xi
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), xi[:-1]])
+    if flavor == "zz16":
+        xi = xi & 0xFFFF
+        prev = prev & 0xFFFF
+        d16 = (xi - prev) & 0xFFFF
+        return ((d16 << 1) & 0xFFFF) ^ ((d16 >> 15) * 0xFFFF)
+    d = xi - prev
+    return (d << 1) ^ (d >> 31)
+
+
+def _codes_w2(v: jax.Array) -> jax.Array:
+    return ((v & ~0xFF) != 0).astype(jnp.int32)
+
+
+def _codes_w4(v: jax.Array) -> jax.Array:
+    return (((v & ~0xFF) != 0).astype(jnp.int32)
+            + ((v & ~0xFFFF) != 0).astype(jnp.int32)
+            + ((v & ~0xFFFFFF) != 0).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Encode — 1/2-byte widths (one routed channel)
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel_factory(d_bits: int, flavor: str):
     def _encode_block_kernel(x_ref, data_ref, total_ref, state_ref,
                              carry_ref, stage_ref, sem):
         RV, _ = x_ref.shape                  # (V//128, 128)
@@ -122,42 +212,35 @@ def _encode_kernel_factory(d_bits: int):
         @pl.when(k == 0)
         def _():
             state_ref[0] = 0                 # running output byte offset
-            state_ref[1] = 0                 # previous sample (u16 bits)
+            state_ref[1] = 0                 # previous sample
             carry_ref[:] = jnp.zeros((ALIGN_ROWS, LANES), jnp.int32)
 
-        # Fused 16-bit wrapped delta + zig-zag (sse3.h:431-440 semantics).
-        xi = x_ref[:].astype(jnp.int32) & 0xFFFF
-        prev_arr = _flat_shift_right(xi, 1)
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (RV, LANES), 0)
-        lidx = jax.lax.broadcasted_iota(jnp.int32, (RV, LANES), 1)
-        prev_arr = jnp.where((ridx == 0) & (lidx == 0), state_ref[1],
-                             prev_arr)
-        d16 = (xi - prev_arr) & 0xFFFF
-        v = ((d16 << 1) & 0xFFFF) ^ ((d16 >> 15) * 0xFFFF)
-        state_ref[1] = _last_slot(xi)
+        xi = x_ref[:].astype(jnp.int32)
+        if flavor == "zz16":
+            xi = xi & 0xFFFF
+        v, prev_out = _fwd_transform(flavor, xi, state_ref[1])
+        state_ref[1] = prev_out
 
-        c = (v > 0xFF).astype(jnp.int32)
+        c = _codes_w2(v)
         E = _flat_prefix_sum_incl(c) - c
         block_len = V + E[RV - 1, LANES - 1] + c[RV - 1, LANES - 1]
 
-        zero_half = jnp.zeros((RV, LANES), jnp.int32)
-        chan = v | (1 << OCC_BIT) | (E << D_SHIFT)
-        routed = _route_msb(jnp.concatenate([chan, zero_half], axis=0),
-                            d_bits)
+        # Route each value's u16 payload directly to its *DMA-aligned* slot:
+        # displacement = data offset E(i) + the block's output misalignment.
+        off = state_ref[0]
+        a = off & (ALIGN - 1)
+        SR = 2 * RV + ALIGN_ROWS
+        chan = v | (1 << OCC_BIT) | ((E + a) << D_SHIFT)
+        chan = jnp.concatenate(
+            [chan, jnp.zeros((RV + ALIGN_ROWS, LANES), jnp.int32)], axis=0)
+        (routed,) = _route_msb(chan, d_bits)
         # byte[q] = lo byte landed at q | hi byte of the value landed at q-1.
         data_bytes = (routed & 0xFF) | \
             ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
 
-        # Aligned staging + carried tail, as in pallas_codec2.
-        off = state_ref[0]
-        a = off & (ALIGN - 1)
-        SR = 2 * RV + ALIGN_ROWS
-        ext = jnp.concatenate(
-            [data_bytes, jnp.zeros((ALIGN_ROWS, LANES), jnp.int32)], axis=0)
-        shifted = _dyn_shift_right(ext, a, ALIGN.bit_length() - 1)
         carry_ext = jnp.concatenate(
             [carry_ref[:], jnp.zeros((2 * RV, LANES), jnp.int32)], axis=0)
-        staged = shifted | carry_ext
+        staged = data_bytes | carry_ext
         stage_ref[:] = staged.reshape(SR * LANES)
 
         wa = pl.multiple_of(off - a, ALIGN)
@@ -186,33 +269,34 @@ def _encode_kernel_factory(d_bits: int):
     return _encode_block_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def encode_int16(x: jax.Array, block: int = 4096):
-    """Fused delta+zigzag+StreamVByte v0 pack of a raw int16 signal.
+@functools.partial(jax.jit, static_argnames=("block", "flavor"))
+def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16"):
+    """Fused transform + StreamVByte v0 pack for the 1/2-byte widths.
 
-    x: [N] int16; N a multiple of ``block`` (512 <= block <= 16384,
-    a multiple of 512).  Returns ``(key_bytes u8 [N//4],
-    data_expanded i32 [2N + pad] (one wire byte per element), data_len)``.
+    x: [N] int16 (zz16/none16) or int8 (zz8/none8); N a multiple of
+    ``block``. Returns ``(key_bytes u8 [N//4], data_expanded i32 [2N + pad]
+    (one wire byte per element), data_len)``.
     """
+    assert flavor in W2_FLAVORS
     N = x.shape[0]
-    assert N % block == 0 and block % 512 == 0 and block <= MAX_BLOCK
+    assert x.dtype == _INPUT_DTYPE[flavor]
+    assert N % block == 0 and block % 512 == 0
+    d_bits = _d_bits(block, 1)
+    assert D_SHIFT + d_bits <= 32, f"block {block} too large"
     nblocks = N // block
     RV = block // LANES
 
     x2 = x.reshape(N // LANES, LANES)
 
-    # Key bytes in plain XLA: recompute delta+zigzag elementwise (fused by
+    # Key bytes in plain XLA: recompute the transform elementwise (fused by
     # XLA into one cheap pass) and pack 2-bit codes, 4 per byte.
-    xi = x.astype(jnp.int32) & 0xFFFF
-    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), xi[:-1]])
-    d16 = (xi - prev) & 0xFFFF
-    zz = ((d16 << 1) & 0xFFFF) ^ ((d16 >> 15) * 0xFFFF)
-    kc = (zz > 0xFF).astype(jnp.uint32).reshape(N // 4, 4)
+    kc = _codes_w2(_xla_values(flavor, x)).astype(
+        jnp.uint32).reshape(N // 4, 4)
     keys = (kc[:, 0] | (kc[:, 1] << 2) | (kc[:, 2] << 4)
             | (kc[:, 3] << 6)).astype(jnp.uint8)
 
     data_x, total = pl.pallas_call(
-        _encode_kernel_factory(_d_bits(block)),
+        _encode_kernel_factory(d_bits, flavor),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -236,12 +320,17 @@ def encode_int16(x: jax.Array, block: int = 4096):
     return keys, data_x, total[0]
 
 
+def encode_int16(x: jax.Array, block: int = 4096):
+    """The nanopore hot path: int16 + zigzag (v0)."""
+    return encode_w2(x, block=block, flavor="zz16")
+
+
 # ---------------------------------------------------------------------------
-# Decode
+# Decode — 1/2-byte widths
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel_factory(d_bits: int):
+def _decode_kernel_factory(d_bits: int, flavor: str):
     def _decode_block_kernel(c_ref, boff_ref, data_ref, out_ref, state_ref,
                              stage_ref, sem):
         RV = c_ref.shape[0]
@@ -263,44 +352,56 @@ def _decode_kernel_factory(d_bits: int):
         copy.start()
         copy.wait()
         fetched = stage_ref[:].reshape(2 * RV + ALIGN_ROWS, LANES)
-        data_bytes = _dyn_shift_left(
-            fetched, a, ALIGN.bit_length() - 1)[: 2 * RV]
 
         # Re-assemble each candidate slot's u16: byte[q] | byte[q+1] << 8,
-        # then pull the single channel back to source slots.
-        w = (data_bytes & 0xFF) | \
-            ((_flat_shift_left(data_bytes, 1) & 0xFF) << 8)
-        zero_half = jnp.zeros((RV, LANES), jnp.int32)
+        # then pull the single channel back to source slots. The fetch
+        # misalignment ``a`` is fused into the replayed displacements, so
+        # the fetched window is used as-is (no dynamic pre-shift).
+        w = (fetched & 0xFF) | \
+            ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
+        zeros_rest = jnp.zeros((RV + ALIGN_ROWS, LANES), jnp.int32)
         occupied = jnp.concatenate(
-            [jnp.ones((RV, LANES), jnp.int32), zero_half], axis=0)
-        d = jnp.concatenate([E, zero_half], axis=0)
-        w16 = _reverse_replay(w, _route_msb_masks(d, occupied, d_bits))[:RV]
+            [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
+        d = jnp.concatenate([E + a, zeros_rest], axis=0)
+        [w16] = _reverse_replay(
+            [w], _route_msb_masks(d, occupied, d_bits))
+        w16 = w16[:RV]
         vals = (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
 
-        # Un-zig-zag (16-bit) + prefix sum + carried previous value.
+        # Inverse transform.
         u = jax.lax.bitcast_convert_type(vals, jnp.uint32)
         neg = jnp.uint32(0) - (u & 1)
-        delta = jax.lax.bitcast_convert_type(((u >> 1) ^ neg) & 0xFFFF,
-                                             jnp.int32)
-        acc = _flat_prefix_sum_incl(delta) + state_ref[0]
-        out16 = acc & 0xFFFF
-        out_ref[:] = out16.astype(jnp.uint16).astype(jnp.int16)
-        state_ref[0] = _last_slot(out16)
+        if flavor == "zz16":
+            delta = jax.lax.bitcast_convert_type(
+                ((u >> 1) ^ neg) & 0xFFFF, jnp.int32)
+            acc = _flat_prefix_sum_incl(delta) + state_ref[0]
+            out16 = acc & 0xFFFF
+            out_ref[:] = out16.astype(jnp.uint16).astype(jnp.int16)
+            state_ref[0] = _last_slot(out16)
+        else:  # zz8: 32-bit deltas, narrowing cast on output
+            delta = jax.lax.bitcast_convert_type((u >> 1) ^ neg,
+                                                 jnp.int32)
+            acc = _flat_prefix_sum_incl(delta) + state_ref[0]
+            out_ref[:] = (acc & 0xFF).astype(jnp.uint8).astype(jnp.int8)
+            state_ref[0] = _last_slot(acc)
 
     return _decode_block_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def decode_int16(keys: jax.Array, data_expanded: jax.Array,
-                 block_offsets: jax.Array, block: int = 4096):
-    """Inverse of :func:`encode_int16` for well-formed width-2 streams.
+@functools.partial(jax.jit, static_argnames=("block", "flavor"))
+def decode_w2(keys: jax.Array, data_expanded: jax.Array,
+              block_offsets: jax.Array, block: int = 4096,
+              flavor: str = "zz16"):
+    """Inverse of :func:`encode_w2` for well-formed width-1/2 streams.
 
     keys: u8 [N//4]; data_expanded: one data-section byte per element (any
     int dtype); block_offsets: i32 [nblocks] per-block byte offsets.
-    Returns the reconstructed int16 signal [N].
+    Returns the reconstructed signal [N] (int16 or int8 per flavor).
     """
+    assert flavor in W2_FLAVORS
     N = keys.shape[0] * 4
-    assert N % block == 0 and block % 512 == 0 and block <= MAX_BLOCK
+    assert N % block == 0 and block % 512 == 0
+    d_bits = _d_bits(block, 1)
     nblocks = N // block
     RV = block // LANES
 
@@ -318,7 +419,7 @@ def decode_int16(keys: jax.Array, data_expanded: jax.Array,
         N // LANES, LANES)
 
     out = pl.pallas_call(
-        _decode_kernel_factory(_d_bits(block)),
+        _decode_kernel_factory(d_bits, flavor),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((RV, LANES), lambda i: (i, 0),
@@ -328,7 +429,8 @@ def decode_int16(keys: jax.Array, data_expanded: jax.Array,
         ],
         out_specs=pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N // LANES, LANES), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct(
+            (N // LANES, LANES), _INPUT_DTYPE[flavor]),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
@@ -339,11 +441,254 @@ def decode_int16(keys: jax.Array, data_expanded: jax.Array,
     return out.reshape(N)
 
 
-def block_offsets_from_keys(keys: jax.Array, block: int) -> jax.Array:
-    """Per-block data-section byte offsets, from the key bytes (XLA)."""
+def decode_int16(keys: jax.Array, data_expanded: jax.Array,
+                 block_offsets: jax.Array, block: int = 4096):
+    return decode_w2(keys, data_expanded, block_offsets, block=block,
+                     flavor="zz16")
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode — 4-byte widths (two payload channels, shared routing)
+# ---------------------------------------------------------------------------
+
+
+def _encode4_kernel_factory(d_bits: int, flavor: str):
+    def _encode_block_kernel(x_ref, data_ref, total_ref, state_ref,
+                             carry_ref, stage_ref, sem):
+        RV, _ = x_ref.shape
+        V = RV * LANES
+        k = pl.program_id(0)
+        nblocks = pl.num_programs(0)
+
+        @pl.when(k == 0)
+        def _():
+            state_ref[0] = 0
+            state_ref[1] = 0
+            carry_ref[:] = jnp.zeros((ALIGN_ROWS, LANES), jnp.int32)
+
+        xi = x_ref[:].astype(jnp.int32)   # sign-extends narrow inputs
+        v, prev_out = _fwd_transform(flavor, xi, state_ref[1])
+        state_ref[1] = prev_out
+
+        code = _codes_w4(v)
+        E = _flat_prefix_sum_incl(code) - code
+        block_len = V + E[RV - 1, LANES - 1] + code[RV - 1, LANES - 1]
+
+        off = state_ref[0]
+        a = off & (ALIGN - 1)
+        SR = 4 * RV + ALIGN_ROWS
+        pad = jnp.zeros((3 * RV + ALIGN_ROWS, LANES), jnp.int32)
+        chan = (v & 0xFFFF) | (1 << OCC_BIT) | ((E + a) << D_SHIFT)
+        chan = jnp.concatenate([chan, pad], axis=0)
+        hi16 = jnp.concatenate(
+            [(v >> 16) & 0xFFFF, pad], axis=0)
+        routed, hi_r = _route_msb(chan, d_bits, extras=[hi16])
+        # byte[q] = byte k of the value landed at q-k (absent bytes are 0
+        # in the payload by construction: v < 2^(8*len)).
+        data_bytes = ((routed & 0xFF)
+                      | ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
+                      | (_flat_shift_right(hi_r, 2) & 0xFF)
+                      | ((_flat_shift_right(hi_r, 3) >> 8) & 0xFF))
+
+        carry_ext = jnp.concatenate(
+            [carry_ref[:], jnp.zeros((4 * RV, LANES), jnp.int32)], axis=0)
+        staged = data_bytes | carry_ext
+        stage_ref[:] = staged.reshape(SR * LANES)
+
+        wa = pl.multiple_of(off - a, ALIGN)
+        copy = pltpu.make_async_copy(
+            stage_ref, data_ref.at[pl.ds(wa, SR * LANES)], sem)
+        copy.start()
+        copy.wait()
+
+        new_off = off + block_len
+        tail_rel = ((new_off >> 10) << 10) - (off - a)
+        tail = _dyn_shift_left(staged, tail_rel,
+                               (SR * LANES).bit_length(), min_bit=10)
+        carry_ref[:] = tail[:ALIGN_ROWS]
+        na = new_off & (ALIGN - 1)
+        cidx = jax.lax.broadcasted_iota(
+            jnp.int32, (ALIGN_ROWS, LANES), 0) * LANES + \
+            jax.lax.broadcasted_iota(jnp.int32, (ALIGN_ROWS, LANES), 1)
+        carry_ref[:] = jnp.where(cidx < na, carry_ref[:], 0)
+
+        state_ref[0] = new_off
+
+        @pl.when(k == nblocks - 1)
+        def _():
+            total_ref[0] = new_off
+
+    return _encode_block_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block", "flavor"))
+def encode_w4(x: jax.Array, block: int = 4096, flavor: str = "zz32"):
+    """Fused transform + StreamVByte v0 pack over the 4-byte code space.
+
+    x: [N] of the flavor's input dtype (int32, or int16/int8 for the
+    sign-extending no-zigzag flavors). Returns ``(key_bytes u8 [N//4],
+    data_expanded i32 [4N + pad], data_len)``.
+    """
+    assert flavor in W4_FLAVORS
+    N = x.shape[0]
+    assert x.dtype == _INPUT_DTYPE[flavor]
+    assert N % block == 0 and block % 512 == 0
+    d_bits = _d_bits(block, 3)
+    assert D_SHIFT + d_bits <= 32, f"block {block} too large for width 4"
+    nblocks = N // block
+    RV = block // LANES
+
+    x2 = x.reshape(N // LANES, LANES)
+    kc = _codes_w4(_xla_values(flavor, x)).astype(
+        jnp.uint32).reshape(N // 4, 4)
+    keys = (kc[:, 0] | (kc[:, 1] << 2) | (kc[:, 2] << 4)
+            | (kc[:, 3] << 6)).astype(jnp.uint8)
+
+    data_x, total = pl.pallas_call(
+        _encode4_kernel_factory(d_bits, flavor),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((4 * N + 4 * block + 2 * ALIGN,),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((ALIGN_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((4 * block + ALIGN,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x2)
+    return keys, data_x, total[0]
+
+
+def _decode4_kernel_factory(d_bits: int, flavor: str):
+    def _decode_block_kernel(code_ref, boff_ref, data_ref, out_ref,
+                             state_ref, stage_ref, sem):
+        RV = code_ref.shape[0]
+        V = RV * LANES
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            state_ref[0] = 0
+
+        code = code_ref[:].astype(jnp.int32)
+        E = _flat_prefix_sum_incl(code) - code
+
+        bo = boff_ref[k]
+        a = bo & (ALIGN - 1)
+        ra = pl.multiple_of(bo - a, ALIGN)
+        copy = pltpu.make_async_copy(
+            data_ref.at[pl.ds(ra, 4 * V + ALIGN)], stage_ref, sem)
+        copy.start()
+        copy.wait()
+        fetched = stage_ref[:].reshape(4 * RV + ALIGN_ROWS, LANES)
+
+        w0 = (fetched & 0xFF) | \
+            ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
+        w1 = (_flat_shift_left(fetched, 2) & 0xFF) | \
+            ((_flat_shift_left(fetched, 3) & 0xFF) << 8)
+        zeros_rest = jnp.zeros((3 * RV + ALIGN_ROWS, LANES), jnp.int32)
+        occupied = jnp.concatenate(
+            [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
+        d = jnp.concatenate([E + a, zeros_rest], axis=0)
+        lo, hi = _reverse_replay(
+            [w0, w1], _route_msb_masks(d, occupied, d_bits))
+        lo, hi = lo[:RV], hi[:RV]
+        vals = ((lo & 0xFF)
+                | (((lo >> 8) & 0xFF) << 8) * (code >= 1).astype(jnp.int32)
+                | ((hi & 0xFF) << 16) * (code >= 2).astype(jnp.int32)
+                | (((hi >> 8) & 0xFF) << 24) * (code >= 3).astype(jnp.int32))
+
+        if flavor == "none32":
+            out_ref[:] = vals
+        elif flavor == "none16":
+            out_ref[:] = (vals & 0xFFFF).astype(jnp.uint16).astype(jnp.int16)
+        elif flavor == "none8":
+            out_ref[:] = (vals & 0xFF).astype(jnp.uint8).astype(jnp.int8)
+        else:
+            u = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+            neg = jnp.uint32(0) - (u & 1)
+            delta = jax.lax.bitcast_convert_type((u >> 1) ^ neg, jnp.int32)
+            acc = _flat_prefix_sum_incl(delta) + state_ref[0]
+            out_ref[:] = acc
+            state_ref[0] = _last_slot(acc)
+
+    return _decode_block_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block", "flavor"))
+def decode_w4(keys: jax.Array, data_expanded: jax.Array,
+              block_offsets: jax.Array, block: int = 4096,
+              flavor: str = "zz32"):
+    """Inverse of :func:`encode_w4` for well-formed width-4 streams."""
+    assert flavor in W4_FLAVORS
+    N = keys.shape[0] * 4
+    assert N % block == 0 and block % 512 == 0
+    d_bits = _d_bits(block, 3)
+    nblocks = N // block
+    RV = block // LANES
+
+    need = 4 * N + 4 * block + 2 * ALIGN
+    data_expanded = data_expanded.astype(jnp.int32)
+    if data_expanded.shape[0] < need:
+        data_expanded = jnp.concatenate(
+            [data_expanded,
+             jnp.zeros(need - data_expanded.shape[0], jnp.int32)])
+
+    kb = keys.astype(jnp.uint32)
+    codes = jnp.stack([kb & 3, (kb >> 2) & 3, (kb >> 4) & 3,
+                       (kb >> 6) & 3], axis=1).reshape(N)
+    c_all = codes.astype(jnp.int32).reshape(N // LANES, LANES)
+
+    out = pl.pallas_call(
+        _decode4_kernel_factory(d_bits, flavor),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (N // LANES, LANES), _INPUT_DTYPE[flavor]),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((4 * block + ALIGN,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(c_all, block_offsets.astype(jnp.int32), data_expanded)
+    return out.reshape(N)
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+
+def block_offsets_from_keys(keys: jax.Array, block: int,
+                            four_byte_codes: bool = False) -> jax.Array:
+    """Per-block data-section byte offsets, from the key bytes (XLA).
+
+    ``four_byte_codes``: True for the W4 flavors (codes 0-3 → 1-4 bytes);
+    False for the W2 flavors (codes 0-1 → 1-2 bytes)."""
     kb = keys.astype(jnp.uint32)
     codes = jnp.stack([kb & 3, (kb >> 2) & 3, (kb >> 4) & 3,
                        (kb >> 6) & 3], axis=1).reshape(-1)
-    lens = (jnp.minimum(codes, 1) + 1).astype(jnp.int32)
+    if four_byte_codes:
+        lens = (codes + 1).astype(jnp.int32)
+    else:
+        lens = (jnp.minimum(codes, 1) + 1).astype(jnp.int32)
     bsum = lens.reshape(-1, block).sum(axis=1)
     return (jnp.cumsum(bsum) - bsum).astype(jnp.int32)
