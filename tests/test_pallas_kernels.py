@@ -133,6 +133,28 @@ def test_pallas3_none16_sign_extends():
     _roundtrip3_flavor(sig, 512, "none16", 2, False)
 
 
+def test_pallas3_batch_rows_independent():
+    """Batched grid (B, nblocks): per-row state reset + per-row output
+    regions must reproduce the single-row streams exactly."""
+    rng = np.random.default_rng(4)
+    B, N, block = 2, 1024, 512
+    rows = [np.clip(500 + np.cumsum(rng.normal(0, 12, N)),
+                    -2000, 2000).astype(np.int16) for _ in range(B)]
+    xb = np.stack(rows)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, lens = pc3.encode_w2_batch(jnp.asarray(xb), block=block)
+    keys_np, data_np = np.asarray(keys), np.asarray(data)
+    for i, row in enumerate(rows):
+        ref = scalar.svb_compress(row, 2, True, 0)
+        stream = keys_np[i].tobytes() + \
+            data_np[i].astype(np.uint8).tobytes()[: int(lens[i])]
+        assert stream == ref, f"batch row {i} not bit-exact"
+    boffs = pc3.block_offsets_from_keys_batch(keys, block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pc3.decode_w2_batch(keys, data, boffs, block=block)
+    np.testing.assert_array_equal(np.asarray(out), xb)
+
+
 def test_route_msb_collision_free():
     """Numeric validation of the monotone MSB-first routing theorem."""
     rng = np.random.default_rng(1)

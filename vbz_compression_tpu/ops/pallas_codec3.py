@@ -90,47 +90,84 @@ def _d_bits(block: int, max_extra: int) -> int:
     return max((max_extra * (block - 1) + ALIGN - 1).bit_length(), 1)
 
 
-def _route_msb(chan: jax.Array, d_bits: int, extras=()):
+def _route_msb(chan: jax.Array, d_bits: int, extras=(), dmax=None):
     """MSB-first monotone push routing; empty slots are all-zero. ``extras``
-    are payload-only arrays moved with the same per-stage decisions."""
+    are payload-only arrays moved with the same per-stage decisions.
+
+    ``dmax`` (optional traced scalar): the block's maximum displacement.
+    Stages with ``dmax < 2^j`` cannot move anything and are skipped with a
+    real branch — on nanopore-like signal almost every value is code 0, so
+    per-block displacements are tiny and most stages skip (data-adaptive;
+    worst case unchanged)."""
     extras = list(extras)
     for j in range(d_bits - 1, -1, -1):
-        rolled = _flat_shift_right(chan, 1 << j)
-        bit_rolled = (rolled >> (D_SHIFT + j)) & 1
-        bit_stay = (chan >> (D_SHIFT + j)) & 1
-        chan = jnp.where(bit_rolled == 1, rolled,
-                         jnp.where(bit_stay == 0, chan, 0))
-        for t, e in enumerate(extras):
-            er = _flat_shift_right(e, 1 << j)
-            extras[t] = jnp.where(bit_rolled == 1, er,
-                                  jnp.where(bit_stay == 0, e, 0))
+        def _stage(args, j=j):
+            chan, *extras = args
+            rolled = _flat_shift_right(chan, 1 << j)
+            bit_rolled = (rolled >> (D_SHIFT + j)) & 1
+            bit_stay = (chan >> (D_SHIFT + j)) & 1
+            chan = jnp.where(bit_rolled == 1, rolled,
+                             jnp.where(bit_stay == 0, chan, 0))
+            out = [chan]
+            for e in extras:
+                er = _flat_shift_right(e, 1 << j)
+                out.append(jnp.where(bit_rolled == 1, er,
+                                     jnp.where(bit_stay == 0, e, 0)))
+            return tuple(out)
+
+        if dmax is None:
+            chan, *extras = _stage((chan, *extras))
+        else:
+            chan, *extras = jax.lax.cond(
+                dmax >= (1 << j), _stage, lambda args: args,
+                (chan, *extras))
     return (chan, *extras)
 
 
-def _route_msb_masks(d: jax.Array, occupied: jax.Array, d_bits: int):
+def _route_msb_masks(d: jax.Array, occupied: jax.Array, d_bits: int,
+                     dmax=None):
     """Forward-simulate routing of a displacement channel, returning
-    per-stage (moved_in, stayed) masks for reverse replay."""
+    per-stage (moved_in, stayed) masks for reverse replay. With ``dmax``,
+    skipped stages yield identity masks via a real branch."""
     chan = ((d << 1) | occupied) * occupied
     masks = []
     for j in range(d_bits - 1, -1, -1):
-        rolled = _flat_shift_right(chan, 1 << j)
-        bit_rolled = ((rolled >> (1 + j)) & 1) * (rolled & 1)
-        bit_stay = ((chan >> (1 + j)) & 1) * (chan & 1)
-        stayed = (chan & 1) * (1 - bit_stay)
-        chan = jnp.where(bit_rolled == 1, rolled,
-                         jnp.where(bit_stay == 0, chan, 0))
+        def _stage(chan, j=j):
+            rolled = _flat_shift_right(chan, 1 << j)
+            bit_rolled = ((rolled >> (1 + j)) & 1) * (rolled & 1)
+            bit_stay = ((chan >> (1 + j)) & 1) * (chan & 1)
+            stayed = (chan & 1) * (1 - bit_stay)
+            chan = jnp.where(bit_rolled == 1, rolled,
+                             jnp.where(bit_stay == 0, chan, 0))
+            return chan, bit_rolled, stayed
+
+        if dmax is None:
+            chan, bit_rolled, stayed = _stage(chan)
+        else:
+            chan, bit_rolled, stayed = jax.lax.cond(
+                dmax >= (1 << j), _stage,
+                lambda c: (c, jnp.zeros_like(c), jnp.zeros_like(c)), chan)
         masks.append((j, bit_rolled, stayed))
     return masks
 
 
-def _reverse_replay(streams, masks):
+def _reverse_replay(streams, masks, dmax=None):
     xs = list(streams)
     for j, moved_in, stayed in reversed(masks):
-        was_source = _flat_shift_left(moved_in, 1 << j)
-        for t, x in enumerate(xs):
-            pulled = _flat_shift_left(x, 1 << j)
-            xs[t] = jnp.where(stayed == 1, x,
-                              jnp.where(was_source == 1, pulled, 0))
+        def _stage(args, j=j, moved_in=moved_in, stayed=stayed):
+            out = []
+            was_source = _flat_shift_left(moved_in, 1 << j)
+            for x in args:
+                pulled = _flat_shift_left(x, 1 << j)
+                out.append(jnp.where(stayed == 1, x,
+                                     jnp.where(was_source == 1, pulled, 0)))
+            return tuple(out)
+
+        if dmax is None:
+            xs = list(_stage(tuple(xs)))
+        else:
+            xs = list(jax.lax.cond(
+                dmax >= (1 << j), _stage, lambda args: args, tuple(xs)))
     return xs
 
 
@@ -201,13 +238,18 @@ def _codes_w4(v: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _encode_kernel_factory(d_bits: int, flavor: str):
+def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
+    """``row_stride`` > 0 makes the kernel batched: grid (B, nblocks), each
+    row writing its own ``row_stride``-element region of the output."""
+    batched = row_stride > 0
+
     def _encode_block_kernel(x_ref, data_ref, total_ref, state_ref,
                              carry_ref, stage_ref, sem):
         RV, _ = x_ref.shape                  # (V//128, 128)
         V = RV * LANES
-        k = pl.program_id(0)
-        nblocks = pl.num_programs(0)
+        b = pl.program_id(0) if batched else 0
+        k = pl.program_id(1) if batched else pl.program_id(0)
+        nblocks = pl.num_programs(1) if batched else pl.num_programs(0)
 
         @pl.when(k == 0)
         def _():
@@ -233,7 +275,8 @@ def _encode_kernel_factory(d_bits: int, flavor: str):
         chan = v | (1 << OCC_BIT) | ((E + a) << D_SHIFT)
         chan = jnp.concatenate(
             [chan, jnp.zeros((RV + ALIGN_ROWS, LANES), jnp.int32)], axis=0)
-        (routed,) = _route_msb(chan, d_bits)
+        dmax = E[RV - 1, LANES - 1] + a   # E is monotone: last slot is max
+        (routed,) = _route_msb(chan, d_bits, dmax=dmax)
         # byte[q] = lo byte landed at q | hi byte of the value landed at q-1.
         data_bytes = (routed & 0xFF) | \
             ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
@@ -241,13 +284,30 @@ def _encode_kernel_factory(d_bits: int, flavor: str):
         carry_ext = jnp.concatenate(
             [carry_ref[:], jnp.zeros((2 * RV, LANES), jnp.int32)], axis=0)
         staged = data_bytes | carry_ext
+
+        # Deferred-wait DMA: the copy started at the previous grid step
+        # drains while this step's transform/routing runs above; wait only
+        # now, just before overwriting the staging buffer. (The chip
+        # serializes ~N/block round-trip latencies otherwise — measured as
+        # the dominant encode cost.)
+        first = (k == 0) & (b == 0) if batched else k == 0
+        @pl.when(jnp.logical_not(first))
+        def _():
+            pltpu.make_async_copy(
+                stage_ref, data_ref.at[pl.ds(0, SR * LANES)], sem).wait()
         stage_ref[:] = staged.reshape(SR * LANES)
 
-        wa = pl.multiple_of(off - a, ALIGN)
+        wa = pl.multiple_of(b * row_stride + off - a, ALIGN)
         copy = pltpu.make_async_copy(
             stage_ref, data_ref.at[pl.ds(wa, SR * LANES)], sem)
         copy.start()
-        copy.wait()
+        if batched:
+            last = (k == nblocks - 1) & (b == pl.num_programs(0) - 1)
+        else:
+            last = k == nblocks - 1
+        @pl.when(last)
+        def _():
+            copy.wait()
 
         new_off = off + block_len
         tail_rel = ((new_off >> 10) << 10) - (off - a)   # multiple of ALIGN
@@ -264,7 +324,7 @@ def _encode_kernel_factory(d_bits: int, flavor: str):
 
         @pl.when(k == nblocks - 1)
         def _():
-            total_ref[0] = new_off
+            total_ref[b] = new_off
 
     return _encode_block_kernel
 
@@ -330,12 +390,16 @@ def encode_int16(x: jax.Array, block: int = 4096):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel_factory(d_bits: int, flavor: str):
+def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
+    batched = row_stride > 0
+
     def _decode_block_kernel(c_ref, boff_ref, data_ref, out_ref, state_ref,
-                             stage_ref, sem):
+                             stage_a, stage_b, sem_a, sem_b):
         RV = c_ref.shape[0]
         V = RV * LANES
-        k = pl.program_id(0)
+        b = pl.program_id(0) if batched else 0
+        k = pl.program_id(1) if batched else pl.program_id(0)
+        nblocks = pl.num_programs(1) if batched else pl.num_programs(0)
 
         @pl.when(k == 0)
         def _():
@@ -344,14 +408,48 @@ def _decode_kernel_factory(d_bits: int, flavor: str):
         c = c_ref[:].astype(jnp.int32)       # hi-byte flags from the keys
         E = _flat_prefix_sum_incl(c) - c
 
-        bo = boff_ref[k]
+        # Two-buffer prefetch: step g waits on the fetch issued at step g-1
+        # and immediately issues the fetch for step g+1 into the other
+        # buffer, hiding the DMA round trip behind the replay compute.
+        g = b * nblocks + k                   # global grid step
+        total_steps = nblocks * (pl.num_programs(0) if batched else 1)
+        FW = 2 * V + ALIGN                    # fetch window (elements)
+
+        def _start_fetch(step, stage, sem):
+            bo_s = boff_ref[step]
+            b_s = step // nblocks
+            ra_s = pl.multiple_of(
+                b_s * row_stride + bo_s - (bo_s & (ALIGN - 1)), ALIGN)
+            pltpu.make_async_copy(
+                data_ref.at[pl.ds(ra_s, FW)], stage, sem).start()
+
+        even = g % 2 == 0
+
+        @pl.when(g == 0)
+        def _():
+            _start_fetch(g, stage_a, sem_a)
+
+        @pl.when((g + 1 < total_steps) & even)
+        def _():
+            _start_fetch(g + 1, stage_b, sem_b)
+
+        @pl.when((g + 1 < total_steps) & jnp.logical_not(even))
+        def _():
+            _start_fetch(g + 1, stage_a, sem_a)
+
+        bo = boff_ref[g]
         a = bo & (ALIGN - 1)
-        ra = pl.multiple_of(bo - a, ALIGN)
-        copy = pltpu.make_async_copy(
-            data_ref.at[pl.ds(ra, 2 * V + ALIGN)], stage_ref, sem)
-        copy.start()
-        copy.wait()
-        fetched = stage_ref[:].reshape(2 * RV + ALIGN_ROWS, LANES)
+
+        def _take(stage, sem):
+            pltpu.make_async_copy(
+                data_ref.at[pl.ds(0, FW)], stage, sem).wait()
+            return stage[:]
+
+        fetched = jax.lax.cond(
+            even,
+            lambda: _take(stage_a, sem_a),
+            lambda: _take(stage_b, sem_b),
+        ).reshape(2 * RV + ALIGN_ROWS, LANES)
 
         # Re-assemble each candidate slot's u16: byte[q] | byte[q+1] << 8,
         # then pull the single channel back to source slots. The fetch
@@ -363,8 +461,10 @@ def _decode_kernel_factory(d_bits: int, flavor: str):
         occupied = jnp.concatenate(
             [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
         d = jnp.concatenate([E + a, zeros_rest], axis=0)
+        dmax = E[RV - 1, LANES - 1] + a
         [w16] = _reverse_replay(
-            [w], _route_msb_masks(d, occupied, d_bits))
+            [w], _route_msb_masks(d, occupied, d_bits, dmax=dmax),
+            dmax=dmax)
         w16 = w16[:RV]
         vals = (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
 
@@ -434,6 +534,8 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
+            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -482,7 +584,8 @@ def _encode4_kernel_factory(d_bits: int, flavor: str):
         chan = jnp.concatenate([chan, pad], axis=0)
         hi16 = jnp.concatenate(
             [(v >> 16) & 0xFFFF, pad], axis=0)
-        routed, hi_r = _route_msb(chan, d_bits, extras=[hi16])
+        dmax = E[RV - 1, LANES - 1] + a
+        routed, hi_r = _route_msb(chan, d_bits, extras=[hi16], dmax=dmax)
         # byte[q] = byte k of the value landed at q-k (absent bytes are 0
         # in the payload by construction: v < 2^(8*len)).
         data_bytes = ((routed & 0xFF)
@@ -600,8 +703,10 @@ def _decode4_kernel_factory(d_bits: int, flavor: str):
         occupied = jnp.concatenate(
             [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
         d = jnp.concatenate([E + a, zeros_rest], axis=0)
+        dmax = E[RV - 1, LANES - 1] + a
         lo, hi = _reverse_replay(
-            [w0, w1], _route_msb_masks(d, occupied, d_bits))
+            [w0, w1], _route_msb_masks(d, occupied, d_bits, dmax=dmax),
+            dmax=dmax)
         lo, hi = lo[:RV], hi[:RV]
         vals = ((lo & 0xFF)
                 | (((lo >> 8) & 0xFF) << 8) * (code >= 1).astype(jnp.int32)
@@ -670,6 +775,144 @@ def decode_w4(keys: jax.Array, data_expanded: jax.Array,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(c_all, block_offsets.astype(jnp.int32), data_expanded)
     return out.reshape(N)
+
+
+# ---------------------------------------------------------------------------
+# Batched variants (grid over rows × blocks) — feed the sharded data plane
+# ---------------------------------------------------------------------------
+
+
+def _xla_values_2d(flavor: str, x: jax.Array) -> jax.Array:
+    """Row-wise transform for [B, N] batches (delta resets per row)."""
+    xi = x.astype(jnp.int32)
+    if flavor in ("none16", "none8", "none32"):
+        return xi
+    prev = jnp.concatenate(
+        [jnp.zeros((xi.shape[0], 1), jnp.int32), xi[:, :-1]], axis=1)
+    if flavor == "zz16":
+        xi = xi & 0xFFFF
+        prev = prev & 0xFFFF
+        d16 = (xi - prev) & 0xFFFF
+        return ((d16 << 1) & 0xFFFF) ^ ((d16 >> 15) * 0xFFFF)
+    d = xi - prev
+    return (d << 1) ^ (d >> 31)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "flavor"))
+def encode_w2_batch(x: jax.Array, block: int = 4096, flavor: str = "zz16"):
+    """Batched :func:`encode_w2` over independent rows.
+
+    x: [B, N]. Returns ``(keys u8 [B, N//4], data_expanded i32 [B, STRIDE],
+    data_lens i32 [B])`` where ``STRIDE = 2N + 2*block + 2*ALIGN``.
+    """
+    assert flavor in W2_FLAVORS
+    B, N = x.shape
+    assert x.dtype == _INPUT_DTYPE[flavor]
+    assert N % block == 0 and block % 512 == 0
+    d_bits = _d_bits(block, 1)
+    assert D_SHIFT + d_bits <= 32
+    nblocks = N // block
+    RV = block // LANES
+    stride = 2 * N + 2 * block + 2 * ALIGN
+
+    x2 = x.reshape(B * N // LANES, LANES)
+    kc = _codes_w2(_xla_values_2d(flavor, x)).astype(
+        jnp.uint32).reshape(B, N // 4, 4)
+    keys = (kc[..., 0] | (kc[..., 1] << 2) | (kc[..., 2] << 4)
+            | (kc[..., 3] << 6)).astype(jnp.uint8)
+
+    rows_per_block = N // LANES // nblocks
+    data_x, totals = pl.pallas_call(
+        _encode_kernel_factory(d_bits, flavor, row_stride=stride),
+        grid=(B, nblocks),
+        in_specs=[pl.BlockSpec(
+            (RV, LANES),
+            lambda b, k, rpb=rows_per_block, nb=nblocks: (b * nb + k, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * stride,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((ALIGN_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x2)
+    return keys, data_x.reshape(B, stride), totals
+
+
+@functools.partial(jax.jit, static_argnames=("block", "flavor"))
+def decode_w2_batch(keys: jax.Array, data_expanded: jax.Array,
+                    block_offsets: jax.Array, block: int = 4096,
+                    flavor: str = "zz16"):
+    """Batched :func:`decode_w2`.
+
+    keys: u8 [B, N//4]; data_expanded: i32 [B, STRIDE] (one wire byte per
+    element, STRIDE as produced by :func:`encode_w2_batch`);
+    block_offsets: i32 [B, nblocks] row-local byte offsets.
+    Returns [B, N].
+    """
+    assert flavor in W2_FLAVORS
+    B = keys.shape[0]
+    N = keys.shape[1] * 4
+    assert N % block == 0 and block % 512 == 0
+    d_bits = _d_bits(block, 1)
+    nblocks = N // block
+    RV = block // LANES
+    stride = 2 * N + 2 * block + 2 * ALIGN
+    assert data_expanded.shape == (B, stride), data_expanded.shape
+
+    kb = keys.astype(jnp.uint32)
+    codes = jnp.stack([kb & 3, (kb >> 2) & 3, (kb >> 4) & 3,
+                       (kb >> 6) & 3], axis=2).reshape(B, N)
+    c_all = jnp.minimum(codes, 1).astype(jnp.int32).reshape(
+        B * N // LANES, LANES)
+
+    out = pl.pallas_call(
+        _decode_kernel_factory(d_bits, flavor, row_stride=stride),
+        grid=(B, nblocks),
+        in_specs=[
+            pl.BlockSpec((RV, LANES),
+                         lambda b, k, nb=nblocks: (b * nb + k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((RV, LANES),
+                               lambda b, k, nb=nblocks: (b * nb + k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B * N // LANES, LANES), _INPUT_DTYPE[flavor]),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
+            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(c_all, block_offsets.astype(jnp.int32).reshape(B * nblocks),
+      data_expanded.reshape(B * stride))
+    return out.reshape(B, N)
+
+
+def block_offsets_from_keys_batch(keys: jax.Array, block: int) -> jax.Array:
+    """Row-local per-block byte offsets for [B, N//4] key batches (W2)."""
+    B = keys.shape[0]
+    N = keys.shape[1] * 4
+    kb = keys.astype(jnp.uint32)
+    codes = jnp.stack([kb & 3, (kb >> 2) & 3, (kb >> 4) & 3,
+                       (kb >> 6) & 3], axis=2).reshape(B, N)
+    lens = (jnp.minimum(codes, 1) + 1).astype(jnp.int32)
+    bsum = lens.reshape(B, N // block, block).sum(axis=2)
+    return (jnp.cumsum(bsum, axis=1) - bsum).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

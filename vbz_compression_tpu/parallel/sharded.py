@@ -102,6 +102,62 @@ def batch_decode_sharded(streams: jax.Array, lengths: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Pallas-kernel data plane over the mesh (full-row batches)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "block", "flavor"))
+def batch_encode_sharded_pallas(x: jax.Array, *, mesh: Mesh,
+                                block: int = 16384, flavor: str = "zz16"):
+    """Encode a [B, N] batch of *full rows* with the Pallas kernels,
+    data-parallel over the mesh (rows padded edge-mode so pad codes are 0;
+    see ``pad_chunks(mode='edge')``).
+
+    Returns ``(keys u8 [B, N//4] sharded, data i32 [B, STRIDE] sharded,
+    data_lens i32 [B] replicated, total_bytes scalar)``.
+    """
+    from ..ops import pallas_codec3 as pc3
+
+    axis = mesh.axis_names[0]
+
+    def local(xs):
+        keys, data, lens = pc3.encode_w2_batch(xs, block=block,
+                                               flavor=flavor)
+        gathered = jax.lax.all_gather(lens, axis, tiled=True)
+        total = jax.lax.psum(
+            jnp.sum(lens) + jnp.int32(keys.shape[0] * keys.shape[1]), axis)
+        return keys, data, gathered, total
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(axis), P(axis), P(), P()),
+        check_vma=False,
+    )(x)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "block", "flavor"))
+def batch_decode_sharded_pallas(keys: jax.Array, data: jax.Array, *,
+                                mesh: Mesh, block: int = 16384,
+                                flavor: str = "zz16"):
+    """Inverse of :func:`batch_encode_sharded_pallas`; [B, N] sharded out."""
+    from ..ops import pallas_codec3 as pc3
+
+    axis = mesh.axis_names[0]
+
+    def local(ks, ds):
+        boffs = pc3.block_offsets_from_keys_batch(ks, block)
+        return pc3.decode_w2_batch(ks, ds, boffs, block=block, flavor=flavor)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(keys, data)
+
+
+# ---------------------------------------------------------------------------
 # Host-facing bulk driver
 # ---------------------------------------------------------------------------
 
@@ -113,8 +169,13 @@ def shard_batch(mesh: Mesh, arr: np.ndarray) -> jax.Array:
     return jax.device_put(arr, sharding)
 
 
-def pad_chunks(chunks: list[np.ndarray], pad_to: int | None = None):
-    """Pad a ragged list of 1-D arrays into a [B, N] batch + lengths."""
+def pad_chunks(chunks: list[np.ndarray], pad_to: int | None = None,
+               mode: str = "zero"):
+    """Pad a ragged list of 1-D arrays into a [B, N] batch + lengths.
+
+    ``mode='edge'`` repeats each chunk's last value into the padding — on
+    the zig-zag paths the pad region then encodes as code-0 bytes, which the
+    Pallas batch codec relies on for exact truncation."""
     n = max((c.size for c in chunks), default=0)
     N = pad_to or max(4, -(-n // 4) * 4)
     B = len(chunks)
@@ -122,5 +183,7 @@ def pad_chunks(chunks: list[np.ndarray], pad_to: int | None = None):
     lens = np.zeros(B, dtype=np.int32)
     for i, c in enumerate(chunks):
         out[i, : c.size] = c
+        if mode == "edge" and 0 < c.size < N:
+            out[i, c.size:] = c[-1]
         lens[i] = c.size
     return out, lens
