@@ -68,7 +68,8 @@ def tpu_codec_gbps() -> float:
     #   executes FIFO), force only the LAST result, and take the slope
     #   between two values of R — RPC latency and dispatch overhead cancel.
     B, N = 4, 4 * 1024 * 1024  # 4 rows × 8 MiB of int16
-    BLOCK = 16384
+    BLOCK = 32768
+    SLACK = 2048  # compact-kernel extra-bytes budget per block
     sig = make_signal(B * N).reshape(B, N)
 
     # Preferred path: Pallas kernels (single-channel u16 butterfly routing
@@ -77,17 +78,34 @@ def tpu_codec_gbps() -> float:
     try:
         from vbz_compression_tpu.ops import pallas_codec3 as pc3
 
+        # Compact variant: the routed array spans block+SLACK (not 2*block)
+        # slots; overflowing blocks are flagged and the general kernel takes
+        # over (signal workloads essentially never overflow).
         @jax.jit
-        def enc_p(x):
+        def enc_c(x):
+            return pc3.encode_w2(x, block=BLOCK, flavor="zz16", slack=SLACK)
+
+        @jax.jit
+        def dec_c(keys, data):
+            boffs = pc3.block_offsets_from_keys(keys, BLOCK)
+            return pc3.decode_w2(keys, data, boffs, block=BLOCK,
+                                 flavor="zz16", slack=SLACK)
+
+        @jax.jit
+        def enc_g(x):
             return pc3.encode_int16(x, block=BLOCK)
 
         @jax.jit
-        def dec_p(keys, data):
+        def dec_g(keys, data):
             boffs = pc3.block_offsets_from_keys(keys, BLOCK)
             return pc3.decode_int16(keys, data, boffs, block=BLOCK)
 
         x0 = jax.device_put(jnp.asarray(sig[0]))
-        k0, d0, t0_ = enc_p(x0)
+        compact = int(enc_c(x0)[3][None][0]) == 0
+        enc_p = enc_c if compact else enc_g
+        dec_p = dec_c if compact else dec_g
+
+        k0, d0 = enc_p(x0)[:2]
         o0 = dec_p(k0, d0)
         m = int(jnp.sum(jnp.abs(o0.astype(jnp.int32)
                                 - x0.astype(jnp.int32)))[None][0])
@@ -96,9 +114,9 @@ def tpu_codec_gbps() -> float:
         xs = [jax.device_put(jnp.asarray(row)) for row in sig]
         encoded = [enc_p(row) for row in xs]
         enc_calls = [lambda row=row: enc_p(row)[1] for row in xs]
-        dec_calls = [lambda k=k, d=d: dec_p(k, d)
-                     for (k, d, _t) in encoded]
-        print("# path: pallas kernels", file=sys.stderr)
+        dec_calls = [lambda k=e[0], d=e[1]: dec_p(k, d) for e in encoded]
+        print(f"# path: pallas kernels ({'compact' if compact else 'general'})",
+              file=sys.stderr)
         return _measure(enc_calls, dec_calls, N)
     except Exception as exc:  # pragma: no cover - backend-dependent
         print(f"# pallas path unavailable ({type(exc).__name__}); "

@@ -155,6 +155,37 @@ def test_pallas3_batch_rows_independent():
     np.testing.assert_array_equal(np.asarray(out), xb)
 
 
+def test_pallas3_compact_roundtrip_and_overflow():
+    """Compact (slack-bounded) kernel variant: bit-exact on smooth signal,
+    overflow flag raised when a block exceeds the extra-bytes budget."""
+    rng = np.random.default_rng(5)
+    N, block, slack = 2048, 1024, 128
+    sig = (100 + np.cumsum(rng.integers(-3, 4, N))).astype(np.int16)
+    ref = scalar.svb_compress(sig, 2, True, 0)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total, ov = pc3.encode_w2(
+            jnp.asarray(sig), block=block, flavor="zz16", slack=slack)
+    assert int(ov) == 0
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
+    assert stream == ref, "compact encode not bit-exact"
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    boffs = pc3.block_offsets_from_keys(jnp.asarray(keysA), block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pc3.decode_w2(
+            jnp.asarray(keysA),
+            jnp.asarray(np.frombuffer(ref[N // 4:], np.uint8).astype(np.int32)),
+            boffs, block=block, flavor="zz16", slack=slack)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+    # Random data blows the budget: flag must trip.
+    bad = rng.integers(-32768, 32768, N).astype(np.int16)
+    with pltpu.force_tpu_interpret_mode():
+        _, _, _, ov2 = pc3.encode_w2(
+            jnp.asarray(bad), block=block, flavor="zz16", slack=slack)
+    assert int(ov2) == 1
+
+
 def test_route_msb_collision_free():
     """Numeric validation of the monotone MSB-first routing theorem."""
     rng = np.random.default_rng(1)

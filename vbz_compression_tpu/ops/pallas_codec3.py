@@ -238,24 +238,40 @@ def _codes_w4(v: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
+def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
+                           slack: int = 0):
     """``row_stride`` > 0 makes the kernel batched: grid (B, nblocks), each
-    row writing its own ``row_stride``-element region of the output."""
+    row writing its own ``row_stride``-element region of the output.
+
+    ``slack`` > 0 selects the COMPACT variant: the routed array spans only
+    V + slack + ALIGN slots (instead of 2V + ALIGN), assuming each block
+    emits at most ``slack`` extra bytes. Blocks that exceed it are clamped
+    and reported through the overflow flag (last slot of ``total_ref``) —
+    the caller re-runs those inputs through the general kernel. On signal
+    corpora extra bytes are rare, so the compact network is both shallower
+    (fewer displacement bits) and narrower."""
     batched = row_stride > 0
 
     def _encode_block_kernel(x_ref, data_ref, total_ref, state_ref,
                              carry_ref, stage_ref, sem):
         RV, _ = x_ref.shape                  # (V//128, 128)
         V = RV * LANES
+        ext_rows = (slack // LANES if slack else RV) + ALIGN_ROWS
         b = pl.program_id(0) if batched else 0
         k = pl.program_id(1) if batched else pl.program_id(0)
         nblocks = pl.num_programs(1) if batched else pl.num_programs(0)
+        nrows = pl.num_programs(0) if batched else 1
+        flag_idx = nrows if batched else 1
 
         @pl.when(k == 0)
         def _():
             state_ref[0] = 0                 # running output byte offset
             state_ref[1] = 0                 # previous sample
             carry_ref[:] = jnp.zeros((ALIGN_ROWS, LANES), jnp.int32)
+
+        @pl.when((k == 0) & (b == 0))
+        def _():
+            total_ref[flag_idx] = 0          # overflow flag (compact)
 
         xi = x_ref[:].astype(jnp.int32)
         if flavor == "zz16":
@@ -265,16 +281,21 @@ def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
 
         c = _codes_w2(v)
         E = _flat_prefix_sum_incl(c) - c
-        block_len = V + E[RV - 1, LANES - 1] + c[RV - 1, LANES - 1]
+        e_last = E[RV - 1, LANES - 1] + c[RV - 1, LANES - 1]
+        block_len = V + e_last
+        if slack:
+            total_ref[flag_idx] = total_ref[flag_idx] | \
+                (e_last > slack).astype(jnp.int32)
+            block_len = jnp.minimum(block_len, V + slack)
 
         # Route each value's u16 payload directly to its *DMA-aligned* slot:
         # displacement = data offset E(i) + the block's output misalignment.
         off = state_ref[0]
         a = off & (ALIGN - 1)
-        SR = 2 * RV + ALIGN_ROWS
+        SR = RV + ext_rows
         chan = v | (1 << OCC_BIT) | ((E + a) << D_SHIFT)
         chan = jnp.concatenate(
-            [chan, jnp.zeros((RV + ALIGN_ROWS, LANES), jnp.int32)], axis=0)
+            [chan, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
         dmax = E[RV - 1, LANES - 1] + a   # E is monotone: last slot is max
         (routed,) = _route_msb(chan, d_bits, dmax=dmax)
         # byte[q] = lo byte landed at q | hi byte of the value landed at q-1.
@@ -282,7 +303,8 @@ def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
             ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
 
         carry_ext = jnp.concatenate(
-            [carry_ref[:], jnp.zeros((2 * RV, LANES), jnp.int32)], axis=0)
+            [carry_ref[:], jnp.zeros((SR - ALIGN_ROWS, LANES), jnp.int32)],
+            axis=0)
         staged = data_bytes | carry_ext
 
         # Deferred-wait DMA: the copy started at the previous grid step
@@ -329,22 +351,32 @@ def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
     return _encode_block_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "flavor"))
-def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16"):
+@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16",
+              slack: int | None = None):
     """Fused transform + StreamVByte v0 pack for the 1/2-byte widths.
 
-    x: [N] int16 (zz16/none16) or int8 (zz8/none8); N a multiple of
-    ``block``. Returns ``(key_bytes u8 [N//4], data_expanded i32 [2N + pad]
-    (one wire byte per element), data_len)``.
+    x: [N] int16 (zz16/none16... routed via W4) or int8 (zz8); N a multiple
+    of ``block``. Returns ``(key_bytes u8 [N//4], data_expanded i32 (one
+    wire byte per element), data_len)`` — plus an ``overflow`` flag when
+    ``slack`` is given (compact variant: at most ``slack`` extra bytes per
+    block assumed; flag != 0 → re-encode with ``slack=None``).
     """
     assert flavor in W2_FLAVORS
     N = x.shape[0]
     assert x.dtype == _INPUT_DTYPE[flavor]
     assert N % block == 0 and block % 512 == 0
-    d_bits = _d_bits(block, 1)
+    if slack is not None:
+        assert slack % LANES == 0 and 0 < slack <= block
+        d_bits = (slack + ALIGN - 1).bit_length()
+        ext = slack
+    else:
+        d_bits = _d_bits(block, 1)
+        ext = block
     assert D_SHIFT + d_bits <= 32, f"block {block} too large"
     nblocks = N // block
     RV = block // LANES
+    out_len = N + nblocks * ext + block + ext + 2 * ALIGN
 
     x2 = x.reshape(N // LANES, LANES)
 
@@ -356,7 +388,7 @@ def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16"):
             | (kc[:, 3] << 6)).astype(jnp.uint8)
 
     data_x, total = pl.pallas_call(
-        _encode_kernel_factory(d_bits, flavor),
+        _encode_kernel_factory(d_bits, flavor, slack=slack or 0),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -365,18 +397,19 @@ def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16"):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((2 * N + 2 * block + 2 * ALIGN,),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((out_len,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((ALIGN_ROWS, LANES), jnp.int32),
-            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
+            pltpu.VMEM((block + ext + ALIGN,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(x2)
+    if slack is not None:
+        return keys, data_x, total[0], total[1]
     return keys, data_x, total[0]
 
 
@@ -390,13 +423,17 @@ def encode_int16(x: jax.Array, block: int = 4096):
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
+def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
+                           slack: int = 0):
+    """``slack`` > 0 selects the compact variant (callers must have checked
+    from the keys that every block's data section fits V + slack bytes)."""
     batched = row_stride > 0
 
     def _decode_block_kernel(c_ref, boff_ref, data_ref, out_ref, state_ref,
                              stage_a, stage_b, sem_a, sem_b):
         RV = c_ref.shape[0]
         V = RV * LANES
+        ext = slack if slack else V
         b = pl.program_id(0) if batched else 0
         k = pl.program_id(1) if batched else pl.program_id(0)
         nblocks = pl.num_programs(1) if batched else pl.num_programs(0)
@@ -413,7 +450,7 @@ def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
         # buffer, hiding the DMA round trip behind the replay compute.
         g = b * nblocks + k                   # global grid step
         total_steps = nblocks * (pl.num_programs(0) if batched else 1)
-        FW = 2 * V + ALIGN                    # fetch window (elements)
+        FW = V + ext + ALIGN                  # fetch window (elements)
 
         def _start_fetch(step, stage, sem):
             bo_s = boff_ref[step]
@@ -445,11 +482,12 @@ def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
                 data_ref.at[pl.ds(0, FW)], stage, sem).wait()
             return stage[:]
 
+        ext_rows = ext // LANES + ALIGN_ROWS
         fetched = jax.lax.cond(
             even,
             lambda: _take(stage_a, sem_a),
             lambda: _take(stage_b, sem_b),
-        ).reshape(2 * RV + ALIGN_ROWS, LANES)
+        ).reshape(RV + ext_rows, LANES)
 
         # Re-assemble each candidate slot's u16: byte[q] | byte[q+1] << 8,
         # then pull the single channel back to source slots. The fetch
@@ -457,7 +495,7 @@ def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
         # the fetched window is used as-is (no dynamic pre-shift).
         w = (fetched & 0xFF) | \
             ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
-        zeros_rest = jnp.zeros((RV + ALIGN_ROWS, LANES), jnp.int32)
+        zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
         occupied = jnp.concatenate(
             [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
         d = jnp.concatenate([E + a, zeros_rest], axis=0)
@@ -488,24 +526,32 @@ def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0):
     return _decode_block_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "flavor"))
+@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
 def decode_w2(keys: jax.Array, data_expanded: jax.Array,
               block_offsets: jax.Array, block: int = 4096,
-              flavor: str = "zz16"):
+              flavor: str = "zz16", slack: int | None = None):
     """Inverse of :func:`encode_w2` for well-formed width-1/2 streams.
 
     keys: u8 [N//4]; data_expanded: one data-section byte per element (any
     int dtype); block_offsets: i32 [nblocks] per-block byte offsets.
+    ``slack``: compact variant — the CALLER must have verified from the keys
+    that every block's data section is at most ``block + slack`` bytes.
     Returns the reconstructed signal [N] (int16 or int8 per flavor).
     """
     assert flavor in W2_FLAVORS
     N = keys.shape[0] * 4
     assert N % block == 0 and block % 512 == 0
-    d_bits = _d_bits(block, 1)
+    if slack is not None:
+        assert slack % LANES == 0 and 0 < slack <= block
+        d_bits = (slack + ALIGN - 1).bit_length()
+        ext = slack
+    else:
+        d_bits = _d_bits(block, 1)
+        ext = block
     nblocks = N // block
     RV = block // LANES
 
-    need = 2 * N + 2 * block + 2 * ALIGN
+    need = N + nblocks * ext + block + ext + 2 * ALIGN
     data_expanded = data_expanded.astype(jnp.int32)
     if data_expanded.shape[0] < need:
         data_expanded = jnp.concatenate(
@@ -519,7 +565,7 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
         N // LANES, LANES)
 
     out = pl.pallas_call(
-        _decode_kernel_factory(d_bits, flavor),
+        _decode_kernel_factory(d_bits, flavor, slack=slack or 0),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((RV, LANES), lambda i: (i, 0),
@@ -533,8 +579,8 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
             (N // LANES, LANES), _INPUT_DTYPE[flavor]),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
-            pltpu.VMEM((2 * block + ALIGN,), jnp.int32),
+            pltpu.VMEM((block + ext + ALIGN,), jnp.int32),
+            pltpu.VMEM((block + ext + ALIGN,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -835,7 +881,7 @@ def encode_w2_batch(x: jax.Array, block: int = 4096, flavor: str = "zz16"):
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * stride,), jnp.int32),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B + 1,), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),
@@ -845,7 +891,7 @@ def encode_w2_batch(x: jax.Array, block: int = 4096, flavor: str = "zz16"):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(x2)
-    return keys, data_x.reshape(B, stride), totals
+    return keys, data_x.reshape(B, stride), totals[:B]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "flavor"))
