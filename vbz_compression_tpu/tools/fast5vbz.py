@@ -11,7 +11,6 @@ the encode work onto TPU via the JAX backend.
 from __future__ import annotations
 
 import argparse
-import shutil
 import sys
 
 import numpy as np
@@ -35,17 +34,38 @@ def _read_signal(dset):
     return np.concatenate(parts) if len(parts) != 1 else parts[0]
 
 
+def _copy_tree_except_signals(src, dst, signal_paths):
+    """Recursively copy ``src`` into ``dst``, skipping the signal datasets
+    (copied file space is never reclaimed by HDF5 after a delete, so the
+    output is built fresh instead — unlike the reference tool, which
+    copy-then-deletes and bloats, ``python/fast5compress/fast5vbz.py:20``)."""
+    import h5py
+
+    for k, v in src.attrs.items():
+        dst.attrs[k] = v
+    for name, item in src.items():
+        path = item.name.lstrip("/")
+        if path in signal_paths:
+            continue
+        if isinstance(item, h5py.Group):
+            sub = dst.create_group(name)
+            _copy_tree_except_signals(item, sub, signal_paths)
+        else:
+            src.copy(name, dst, name=name)
+
+
 def compress_fast5(input_path: str, output_path: str, *, decompress: bool,
                    vbz_version: int, zstd_level: int, backend) -> None:
     import h5py
 
-    shutil.copyfile(input_path, output_path)
-    with h5py.File(output_path, "r+") as f:
-        for name, dset in list(hdf5_chunks.iter_signal_datasets(f)):
-            signal = _read_signal(dset)
+    with h5py.File(input_path, "r") as fin, \
+            h5py.File(output_path, "w") as f:
+        signals = [(name, _read_signal(dset), dict(dset.attrs))
+                   for name, dset in hdf5_chunks.iter_signal_datasets(fin)]
+        skip = {f"{name}/Raw/Signal" for name, _sig, _a in signals}
+        _copy_tree_except_signals(fin, f, skip)
+        for name, signal, attrs in signals:
             grp = f[name]["Raw"]
-            attrs = dict(dset.attrs)
-            del grp["Signal"]
             if decompress:
                 new = grp.create_dataset(
                     "Signal", data=signal, chunks=(max(signal.size, 1),),
@@ -78,12 +98,15 @@ def main(argv=None) -> int:
                         help="re-encode signals as gzip instead of vbz")
     parser.add_argument("--vbz-version", type=int, default=0, choices=(0, 1))
     parser.add_argument("--zstd-level", type=int, default=1)
-    parser.add_argument("--backend", choices=("scalar", "jax", "native"),
+    parser.add_argument("--backend",
+                        choices=("scalar", "jax", "pallas", "native"),
                         default="scalar")
     args = parser.parse_args(argv)
 
     if args.backend == "jax":
         from ..models.codec import jax_backend as backend
+    elif args.backend == "pallas":
+        from ..models.codec import pallas_backend as backend
     elif args.backend == "native":
         from ..native_backend import native_backend as backend
     else:
