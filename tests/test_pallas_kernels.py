@@ -208,3 +208,28 @@ def test_route_msb_collision_free():
         pay = x & ((1 << 20) - 1)
         for i in range(V):
             assert pay[off[i]] == i + 1
+
+
+def test_pallas3_lanes16_roundtrip():
+    """i16-lane routing variant (meta+payload i16 channels): bit-exact vs
+    the scalar oracle and vs the i32-channel kernels, encode and decode."""
+    rng = np.random.default_rng(7)
+    N, block, slack = 4096, 1024, 256
+    sig = (100 + np.cumsum(rng.integers(-40, 41, N))).astype(np.int16)
+    ref = scalar.svb_compress(sig, 2, True, 0)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total, ov = pc3.encode_w2(
+            jnp.asarray(sig), block=block, flavor="zz16", slack=slack,
+            lanes16=True)
+    assert int(ov) == 0
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
+    assert stream == ref, "lanes16 encode not bit-exact"
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    boffs = pc3.block_offsets_from_keys(jnp.asarray(keysA), block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pc3.decode_w2(
+            jnp.asarray(keysA),
+            jnp.asarray(np.frombuffer(ref[N // 4:], np.uint8).astype(np.int32)),
+            boffs, block=block, flavor="zz16", slack=slack, lanes16=True)
+    np.testing.assert_array_equal(np.asarray(out), sig)

@@ -305,7 +305,7 @@ def decode_int16_zz(keys: jax.Array, data_words: jax.Array,
             pl.BlockSpec((block // 4,), lambda i: (i,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((block,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
@@ -342,7 +342,7 @@ def encode_int16_zz(zz: jax.Array, block: int = 2048):
         out_specs=(
             pl.BlockSpec((block // 4,), lambda i: (i,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(

@@ -201,8 +201,8 @@ def _encode_block_kernel(zz_ref, data_ref, total_ref, state_ref, carry_ref,
 
     # New carry: the partial tail [align_floor(new_off), new_off).
     new_off = off + block_len
-    tail_rel = ((new_off >> 10) << 10) - (off - a)   # multiple of ALIGN
-    tail = _dyn_shift_left(staged, tail_rel, (SR * LANES).bit_length(), min_bit=10)
+    tail_rel = (new_off & ~(ALIGN - 1)) - (off - a)  # multiple of ALIGN
+    tail = _dyn_shift_left(staged, tail_rel, (SR * LANES).bit_length(), min_bit=ALIGN.bit_length() - 1)
     carry_ref[:] = tail[:ALIGN_ROWS]
     # Mask carry beyond (new_off % ALIGN) so future ORs stay clean.
     na = new_off & (ALIGN - 1)
@@ -243,7 +243,7 @@ def encode_int16_zz(zz: jax.Array, block: int = 2048):
         in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
@@ -352,7 +352,7 @@ def decode_int16_zz(keys: jax.Array, data_expanded: jax.Array,
             pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -68,6 +68,14 @@ from .pallas_codec2 import (
 OCC_BIT = 16
 D_SHIFT = 17
 
+# DMA offset granularity. A smaller granularity would shrink the typical
+# misalignment ``a`` (hence dmax, hence active routing stages), but Mosaic
+# PROVES offset divisibility against the HBM ref's tiling: a 1-D i32 ref
+# is tiled (1024,), so any A_GRAN < 1024 fails to compile ("Failed to
+# prove that a tile index in dimension 0 is divisible by the tiling").
+# Probed 2026-08: 256 rejected. Keep == ALIGN.
+A_GRAN = ALIGN
+
 # No-zigzag flavors use the 4-byte kernel regardless of input width: the
 # reference widens by SIGN-EXTENSION (vbz/v0/vbz_streamvbyte_impl.h:24,
 # scalar.widen_values), so negative int8/int16 values encode as 4 bytes.
@@ -86,13 +94,18 @@ MIN_BLOCK = {"zz16": 2048, "none16": 2048, "zz8": 4096, "none8": 4096,
 
 
 def _d_bits(block: int, max_extra: int) -> int:
-    """Bits for displacement = max_extra*(V-1) + (ALIGN-1)."""
-    return max((max_extra * (block - 1) + ALIGN - 1).bit_length(), 1)
+    """Bits for displacement = max_extra*(V-1) + (A_GRAN-1)."""
+    return max((max_extra * (block - 1) + A_GRAN - 1).bit_length(), 1)
 
 
-def _route_msb(chan: jax.Array, d_bits: int, extras=(), dmax=None):
+def _route_msb(chan: jax.Array, d_bits: int, extras=(), dmax=None,
+               d_shift: int = D_SHIFT):
     """MSB-first monotone push routing; empty slots are all-zero. ``extras``
     are payload-only arrays moved with the same per-stage decisions.
+
+    ``d_shift``: bit position of the displacement field inside ``chan``
+    (defaults to the packed-i32 layout; the i16 variant routes a separate
+    meta channel with occupancy at bit 0 and displacement at bit 1).
 
     ``dmax`` (optional traced scalar): the block's maximum displacement.
     Stages with ``dmax < 2^j`` cannot move anything and are skipped with a
@@ -104,8 +117,8 @@ def _route_msb(chan: jax.Array, d_bits: int, extras=(), dmax=None):
         def _stage(args, j=j):
             chan, *extras = args
             rolled = _flat_shift_right(chan, 1 << j)
-            bit_rolled = (rolled >> (D_SHIFT + j)) & 1
-            bit_stay = (chan >> (D_SHIFT + j)) & 1
+            bit_rolled = (rolled >> (d_shift + j)) & 1
+            bit_stay = (chan >> (d_shift + j)) & 1
             chan = jnp.where(bit_rolled == 1, rolled,
                              jnp.where(bit_stay == 0, chan, 0))
             out = [chan]
@@ -239,7 +252,7 @@ def _codes_w4(v: jax.Array) -> jax.Array:
 
 
 def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
-                           slack: int = 0):
+                           slack: int = 0, lanes16: bool = False):
     """``row_stride`` > 0 makes the kernel batched: grid (B, nblocks), each
     row writing its own ``row_stride``-element region of the output.
 
@@ -249,7 +262,16 @@ def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
     and reported through the overflow flag (last slot of ``total_ref``) —
     the caller re-runs those inputs through the general kernel. On signal
     corpora extra bytes are rare, so the compact network is both shallower
-    (fewer displacement bits) and narrower."""
+    (fewer displacement bits) and narrower.
+
+    ``lanes16``: route in int16 lanes — two i16 channels (meta: occupancy
+    bit 0 + displacement bits [1, 1+d_bits); payload: the u16 value bits)
+    instead of one packed i32 channel. Halves the bytes the VPU moves per
+    routing stage if Mosaic packs i16 ops 2-per-word. Probed 2026-08: the
+    current Mosaic toolchain cannot lower ``tpu.dynamic_rotate`` on non-32-
+    bit vectors ("Rotate with non-32-bit data: not implemented"), so this
+    variant is interpret-mode-only until the toolchain grows i16 rotates —
+    it is kept (and tested) as the ready-made 2x candidate for that day."""
     batched = row_stride > 0
 
     def _encode_block_kernel(x_ref, data_ref, total_ref, state_ref,
@@ -291,16 +313,31 @@ def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
         # Route each value's u16 payload directly to its *DMA-aligned* slot:
         # displacement = data offset E(i) + the block's output misalignment.
         off = state_ref[0]
-        a = off & (ALIGN - 1)
+        a = off & (A_GRAN - 1)
         SR = RV + ext_rows
-        chan = v | (1 << OCC_BIT) | ((E + a) << D_SHIFT)
-        chan = jnp.concatenate(
-            [chan, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
         dmax = E[RV - 1, LANES - 1] + a   # E is monotone: last slot is max
-        (routed,) = _route_msb(chan, d_bits, dmax=dmax)
-        # byte[q] = lo byte landed at q | hi byte of the value landed at q-1.
-        data_bytes = (routed & 0xFF) | \
-            ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
+        if lanes16:
+            # Separate i16 meta/payload channels. Both i32→i16 conversions
+            # are range-safe: meta ≤ 2*(slack+ALIGN-1)+1 < 2^15 (asserted by
+            # the wrapper); payload is mapped to the signed i16 range first.
+            meta = (((E + a) << 1) | 1).astype(jnp.int16)
+            pay = (v - ((v >> 15) << 16)).astype(jnp.int16)
+            zpad = jnp.zeros((ext_rows, LANES), jnp.int16)
+            meta = jnp.concatenate([meta, zpad], axis=0)
+            pay = jnp.concatenate([pay, zpad], axis=0)
+            _, pay_r = _route_msb(meta, d_bits, extras=[pay], dmax=dmax,
+                                  d_shift=1)
+            data_bytes = ((pay_r & 0xFF)
+                          | ((_flat_shift_right(pay_r, 1) >> 8)
+                             & 0xFF)).astype(jnp.int32)
+        else:
+            chan = v | (1 << OCC_BIT) | ((E + a) << D_SHIFT)
+            chan = jnp.concatenate(
+                [chan, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
+            (routed,) = _route_msb(chan, d_bits, dmax=dmax)
+            # byte[q] = lo byte landed at q | hi byte of the value at q-1.
+            data_bytes = (routed & 0xFF) | \
+                ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
 
         carry_ext = jnp.concatenate(
             [carry_ref[:], jnp.zeros((SR - ALIGN_ROWS, LANES), jnp.int32)],
@@ -319,7 +356,7 @@ def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
                 stage_ref, data_ref.at[pl.ds(0, SR * LANES)], sem).wait()
         stage_ref[:] = staged.reshape(SR * LANES)
 
-        wa = pl.multiple_of(b * row_stride + off - a, ALIGN)
+        wa = pl.multiple_of(b * row_stride + off - a, A_GRAN)
         copy = pltpu.make_async_copy(
             stage_ref, data_ref.at[pl.ds(wa, SR * LANES)], sem)
         copy.start()
@@ -332,11 +369,11 @@ def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
             copy.wait()
 
         new_off = off + block_len
-        tail_rel = ((new_off >> 10) << 10) - (off - a)   # multiple of ALIGN
+        tail_rel = (new_off & ~(A_GRAN - 1)) - (off - a)  # mult of A_GRAN
         tail = _dyn_shift_left(staged, tail_rel,
-                               (SR * LANES).bit_length(), min_bit=10)
+                               (SR * LANES).bit_length(), min_bit=A_GRAN.bit_length() - 1)
         carry_ref[:] = tail[:ALIGN_ROWS]
-        na = new_off & (ALIGN - 1)
+        na = new_off & (A_GRAN - 1)
         cidx = jax.lax.broadcasted_iota(
             jnp.int32, (ALIGN_ROWS, LANES), 0) * LANES + \
             jax.lax.broadcasted_iota(jnp.int32, (ALIGN_ROWS, LANES), 1)
@@ -351,9 +388,10 @@ def _encode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
     return _encode_block_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "flavor", "slack", "lanes16"))
 def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16",
-              slack: int | None = None):
+              slack: int | None = None, lanes16: bool = False):
     """Fused transform + StreamVByte v0 pack for the 1/2-byte widths.
 
     x: [N] int16 (zz16/none16... routed via W4) or int8 (zz8); N a multiple
@@ -361,6 +399,9 @@ def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16",
     wire byte per element), data_len)`` — plus an ``overflow`` flag when
     ``slack`` is given (compact variant: at most ``slack`` extra bytes per
     block assumed; flag != 0 → re-encode with ``slack=None``).
+
+    ``lanes16``: int16-lane routing (meta+payload i16 channels); requires
+    the max displacement to fit 14 bits, i.e. small ``slack``.
     """
     assert flavor in W2_FLAVORS
     N = x.shape[0]
@@ -368,12 +409,14 @@ def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16",
     assert N % block == 0 and block % 512 == 0
     if slack is not None:
         assert slack % LANES == 0 and 0 < slack <= block
-        d_bits = (slack + ALIGN - 1).bit_length()
+        d_bits = (slack + A_GRAN - 1).bit_length()
         ext = slack
     else:
         d_bits = _d_bits(block, 1)
         ext = block
     assert D_SHIFT + d_bits <= 32, f"block {block} too large"
+    if lanes16:
+        assert 1 + d_bits <= 15, "lanes16 needs displacement < 2^14"
     nblocks = N // block
     RV = block // LANES
     out_len = N + nblocks * ext + block + ext + 2 * ALIGN
@@ -388,7 +431,8 @@ def encode_w2(x: jax.Array, block: int = 4096, flavor: str = "zz16",
             | (kc[:, 3] << 6)).astype(jnp.uint8)
 
     data_x, total = pl.pallas_call(
-        _encode_kernel_factory(d_bits, flavor, slack=slack or 0),
+        _encode_kernel_factory(d_bits, flavor, slack=slack or 0,
+                               lanes16=lanes16),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -424,9 +468,10 @@ def encode_int16(x: jax.Array, block: int = 4096):
 
 
 def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
-                           slack: int = 0):
+                           slack: int = 0, lanes16: bool = False):
     """``slack`` > 0 selects the compact variant (callers must have checked
-    from the keys that every block's data section fits V + slack bytes)."""
+    from the keys that every block's data section fits V + slack bytes).
+    ``lanes16``: run the mask simulation + reverse replay in i16 lanes."""
     batched = row_stride > 0
 
     def _decode_block_kernel(c_ref, boff_ref, data_ref, out_ref, state_ref,
@@ -456,7 +501,7 @@ def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
             bo_s = boff_ref[step]
             b_s = step // nblocks
             ra_s = pl.multiple_of(
-                b_s * row_stride + bo_s - (bo_s & (ALIGN - 1)), ALIGN)
+                b_s * row_stride + bo_s - (bo_s & (A_GRAN - 1)), A_GRAN)
             pltpu.make_async_copy(
                 data_ref.at[pl.ds(ra_s, FW)], stage, sem).start()
 
@@ -475,7 +520,7 @@ def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
             _start_fetch(g + 1, stage_a, sem_a)
 
         bo = boff_ref[g]
-        a = bo & (ALIGN - 1)
+        a = bo & (A_GRAN - 1)
 
         def _take(stage, sem):
             pltpu.make_async_copy(
@@ -495,15 +540,30 @@ def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
         # the fetched window is used as-is (no dynamic pre-shift).
         w = (fetched & 0xFF) | \
             ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
-        zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
-        occupied = jnp.concatenate(
-            [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
-        d = jnp.concatenate([E + a, zeros_rest], axis=0)
         dmax = E[RV - 1, LANES - 1] + a
-        [w16] = _reverse_replay(
-            [w], _route_msb_masks(d, occupied, d_bits, dmax=dmax),
-            dmax=dmax)
-        w16 = w16[:RV]
+        if lanes16:
+            # i16-lane replay: map the u16 candidate words into the signed
+            # i16 range (range-safe conversion), simulate + replay in i16,
+            # then widen back. Displacements fit 14 bits (wrapper asserts).
+            w = (w - ((w >> 15) << 16)).astype(jnp.int16)
+            zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int16)
+            occupied = jnp.concatenate(
+                [jnp.ones((RV, LANES), jnp.int16), zeros_rest], axis=0)
+            d = jnp.concatenate(
+                [(E + a).astype(jnp.int16), zeros_rest], axis=0)
+            [w16] = _reverse_replay(
+                [w], _route_msb_masks(d, occupied, d_bits, dmax=dmax),
+                dmax=dmax)
+            w16 = w16[:RV].astype(jnp.int32) & 0xFFFF
+        else:
+            zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
+            occupied = jnp.concatenate(
+                [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
+            d = jnp.concatenate([E + a, zeros_rest], axis=0)
+            [w16] = _reverse_replay(
+                [w], _route_msb_masks(d, occupied, d_bits, dmax=dmax),
+                dmax=dmax)
+            w16 = w16[:RV]
         vals = (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
 
         # Inverse transform.
@@ -526,16 +586,19 @@ def _decode_kernel_factory(d_bits: int, flavor: str, row_stride: int = 0,
     return _decode_block_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "flavor", "slack", "lanes16"))
 def decode_w2(keys: jax.Array, data_expanded: jax.Array,
               block_offsets: jax.Array, block: int = 4096,
-              flavor: str = "zz16", slack: int | None = None):
+              flavor: str = "zz16", slack: int | None = None,
+              lanes16: bool = False):
     """Inverse of :func:`encode_w2` for well-formed width-1/2 streams.
 
     keys: u8 [N//4]; data_expanded: one data-section byte per element (any
     int dtype); block_offsets: i32 [nblocks] per-block byte offsets.
     ``slack``: compact variant — the CALLER must have verified from the keys
     that every block's data section is at most ``block + slack`` bytes.
+    ``lanes16``: i16-lane replay (see :func:`encode_w2`).
     Returns the reconstructed signal [N] (int16 or int8 per flavor).
     """
     assert flavor in W2_FLAVORS
@@ -543,11 +606,13 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
     assert N % block == 0 and block % 512 == 0
     if slack is not None:
         assert slack % LANES == 0 and 0 < slack <= block
-        d_bits = (slack + ALIGN - 1).bit_length()
+        d_bits = (slack + A_GRAN - 1).bit_length()
         ext = slack
     else:
         d_bits = _d_bits(block, 1)
         ext = block
+    if lanes16:
+        assert 1 + d_bits <= 15, "lanes16 needs displacement < 2^14"
     nblocks = N // block
     RV = block // LANES
 
@@ -565,7 +630,8 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
         N // LANES, LANES)
 
     out = pl.pallas_call(
-        _decode_kernel_factory(d_bits, flavor, slack=slack or 0),
+        _decode_kernel_factory(d_bits, flavor, slack=slack or 0,
+                               lanes16=lanes16),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((RV, LANES), lambda i: (i, 0),
@@ -623,7 +689,7 @@ def _encode4_kernel_factory(d_bits: int, flavor: str):
         block_len = V + E[RV - 1, LANES - 1] + code[RV - 1, LANES - 1]
 
         off = state_ref[0]
-        a = off & (ALIGN - 1)
+        a = off & (A_GRAN - 1)
         SR = 4 * RV + ALIGN_ROWS
         pad = jnp.zeros((3 * RV + ALIGN_ROWS, LANES), jnp.int32)
         chan = (v & 0xFFFF) | (1 << OCC_BIT) | ((E + a) << D_SHIFT)
@@ -644,18 +710,18 @@ def _encode4_kernel_factory(d_bits: int, flavor: str):
         staged = data_bytes | carry_ext
         stage_ref[:] = staged.reshape(SR * LANES)
 
-        wa = pl.multiple_of(off - a, ALIGN)
+        wa = pl.multiple_of(off - a, A_GRAN)
         copy = pltpu.make_async_copy(
             stage_ref, data_ref.at[pl.ds(wa, SR * LANES)], sem)
         copy.start()
         copy.wait()
 
         new_off = off + block_len
-        tail_rel = ((new_off >> 10) << 10) - (off - a)
+        tail_rel = (new_off & ~(A_GRAN - 1)) - (off - a)
         tail = _dyn_shift_left(staged, tail_rel,
-                               (SR * LANES).bit_length(), min_bit=10)
+                               (SR * LANES).bit_length(), min_bit=A_GRAN.bit_length() - 1)
         carry_ref[:] = tail[:ALIGN_ROWS]
-        na = new_off & (ALIGN - 1)
+        na = new_off & (A_GRAN - 1)
         cidx = jax.lax.broadcasted_iota(
             jnp.int32, (ALIGN_ROWS, LANES), 0) * LANES + \
             jax.lax.broadcasted_iota(jnp.int32, (ALIGN_ROWS, LANES), 1)
@@ -733,8 +799,8 @@ def _decode4_kernel_factory(d_bits: int, flavor: str):
         E = _flat_prefix_sum_incl(code) - code
 
         bo = boff_ref[k]
-        a = bo & (ALIGN - 1)
-        ra = pl.multiple_of(bo - a, ALIGN)
+        a = bo & (A_GRAN - 1)
+        ra = pl.multiple_of(bo - a, A_GRAN)
         copy = pltpu.make_async_copy(
             data_ref.at[pl.ds(ra, 4 * V + ALIGN)], stage_ref, sem)
         copy.start()
