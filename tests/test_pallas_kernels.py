@@ -233,3 +233,106 @@ def test_pallas3_lanes16_roundtrip():
             jnp.asarray(np.frombuffer(ref[N // 4:], np.uint8).astype(np.int32)),
             boffs, block=block, flavor="zz16", slack=slack, lanes16=True)
     np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+# ---------------------------------------------------------------------------
+# v4 kernels (alignment-split routing)
+# ---------------------------------------------------------------------------
+
+from vbz_compression_tpu.ops import pallas_codec4 as pc4  # noqa: E402
+
+
+def test_pallas4_dyn_shift_helpers():
+    """Flat dynamic shifts match numpy for awkward amounts (incl. 0)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    R = 16
+    x = np.arange(R * 128, dtype=np.int32).reshape(R, 128)
+    for amt in (0, 1, 127, 128, 129, 1000, 1023):
+        def kr(x_ref, a_ref, o_ref):
+            o_ref[:] = pc4._flat_dyn_shift_right(x_ref[:], a_ref[0])
+
+        def kl(x_ref, a_ref, o_ref):
+            o_ref[:] = pc4._flat_dyn_shift_left(x_ref[:], a_ref[0])
+
+        a = jnp.asarray(np.array([amt], np.int32))
+        with pltpu.force_tpu_interpret_mode():
+            r = pl.pallas_call(
+                kr, out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            )(jnp.asarray(x), a)
+            l = pl.pallas_call(
+                kl, out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            )(jnp.asarray(x), a)
+        flat = x.reshape(-1)
+        exp_r = np.concatenate([np.zeros(amt, np.int32),
+                                flat[:flat.size - amt]]).reshape(R, 128)
+        exp_l = np.concatenate([flat[amt:],
+                                np.zeros(amt, np.int32)]).reshape(R, 128)
+        np.testing.assert_array_equal(np.asarray(r), exp_r, err_msg=f"r {amt}")
+        np.testing.assert_array_equal(np.asarray(l), exp_l, err_msg=f"l {amt}")
+
+
+def _roundtrip4(sig: np.ndarray, block: int, slack: int, flavor: str = "zz16",
+                integer_size: int = 2, expect_overflow: bool = False):
+    N = sig.size
+    ref = scalar.svb_compress(sig, integer_size, True, 0)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total, ovf = pc4.encode_w2(
+            jnp.asarray(sig), block=block, flavor=flavor, slack=slack)
+    assert bool(int(ovf) != 0) == expect_overflow
+    if expect_overflow:
+        return
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
+    assert stream == ref, "v4 encode not bit-exact"
+
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    boffs = pc4.block_offsets_from_keys(jnp.asarray(keysA), block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pc4.decode_w2(
+            jnp.asarray(keysA), jnp.asarray(datab.astype(np.int32)),
+            boffs, block=block, flavor=flavor, slack=slack)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+def test_pallas4_roundtrip_signal():
+    rng = np.random.default_rng(0)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 4096)),
+                  -2000, 2000).astype(np.int16)
+    _roundtrip4(sig, 512, 256)
+
+
+def test_pallas4_roundtrip_mixed_codes():
+    # Large steps force 2-byte codes scattered through the stream so the
+    # alignment-split routing actually routes (dmax > 0 across blocks).
+    rng = np.random.default_rng(7)
+    sig = np.cumsum(rng.integers(-400, 400, 4096)).astype(np.int16)
+    _roundtrip4(sig, 512, 512)
+
+
+def test_pallas4_roundtrip_constant():
+    sig = np.full(2048, 123, np.int16)
+    _roundtrip4(sig, 512, 128)
+
+
+def test_pallas4_overflow_flag():
+    # Constant +200 steps: every zigzag delta is 400 -> 2 bytes per value,
+    # e_last = block, overflowing any slack < block.
+    sig = (np.arange(2048, dtype=np.int32) * 200).astype(np.int16)
+    _roundtrip4(sig, 512, 128, expect_overflow=True)
+
+
+def test_pallas4_roundtrip_wrap_extremes():
+    # Saturating alternation exercises the 16-bit wrap (deltas are +/-1
+    # mod 2^16 -> all code 0).
+    sig = np.tile(np.array([-32768, 32767], np.int16), 1024)
+    _roundtrip4(sig, 512, 128)
+
+
+def test_pallas4_zz8():
+    rng = np.random.default_rng(1)
+    sig = np.clip(np.cumsum(rng.normal(0, 3, 2048)),
+                  -100, 100).astype(np.int8)
+    _roundtrip4(sig, 512, 256, flavor="zz8", integer_size=1)
