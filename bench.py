@@ -40,12 +40,17 @@ def cpu_baseline_gbps() -> float:
     if not os.path.exists(bench):
         subprocess.run(["make", "-C", os.path.join(REPO, "native"), "-s"],
                        check=True)
-    out = subprocess.run([bench, "64", "0"], check=True,
-                         capture_output=True, text=True).stdout
-    d = json.loads(out)
-    # Combined enc+dec throughput: harmonic-mean style (bytes / total time).
-    enc, dec = d["encode_gb_s"], d["decode_gb_s"]
-    return 2 * enc * dec / (enc + dec)
+    # Best of 3 runs: resist transient CPU contention (a loaded machine
+    # should not inflate the TPU/CPU ratio).
+    best = 0.0
+    for _ in range(3):
+        out = subprocess.run([bench, "64", "0"], check=True,
+                             capture_output=True, text=True).stdout
+        d = json.loads(out)
+        # Combined enc+dec throughput (bytes / total time).
+        enc, dec = d["encode_gb_s"], d["decode_gb_s"]
+        best = max(best, 2 * enc * dec / (enc + dec))
+    return best
 
 
 def tpu_codec_gbps() -> float:
@@ -72,23 +77,24 @@ def tpu_codec_gbps() -> float:
     SLACK = 2048  # compact-kernel extra-bytes budget per block
     sig = make_signal(B * N).reshape(B, N)
 
-    # Preferred path: Pallas kernels (single-channel u16 butterfly routing
-    # in VMEM, fused delta+zigzag). Falls back to the XLA gather-free
-    # formulation if the kernels fail to compile on this backend.
+    # Preferred path: Pallas v4 kernels (alignment-split butterfly routing,
+    # in-kernel MXU key pack/unpack, fused delta+zigzag). Falls back to the
+    # XLA gather-free formulation if they fail to compile on this backend.
     try:
         from vbz_compression_tpu.ops import pallas_codec3 as pc3
+        from vbz_compression_tpu.ops import pallas_codec4 as pc4
 
         # Compact variant: the routed array spans block+SLACK (not 2*block)
-        # slots; overflowing blocks are flagged and the general kernel takes
-        # over (signal workloads essentially never overflow).
+        # slots; overflowing blocks are flagged and the codec3 general
+        # kernel takes over (signal workloads essentially never overflow).
         @jax.jit
         def enc_c(x):
-            return pc3.encode_w2(x, block=BLOCK, flavor="zz16", slack=SLACK)
+            return pc4.encode_w2(x, block=BLOCK, flavor="zz16", slack=SLACK)
 
         @jax.jit
         def dec_c(keys, data):
-            boffs = pc3.block_offsets_from_keys(keys, BLOCK)
-            return pc3.decode_w2(keys, data, boffs, block=BLOCK,
+            boffs = pc4.block_offsets_from_keys_flat(keys, BLOCK)
+            return pc4.decode_w2(keys, data, boffs, block=BLOCK,
                                  flavor="zz16", slack=SLACK)
 
         @jax.jit

@@ -73,7 +73,7 @@ def main():
 
     @jax.jit
     def dec4(keys, data):
-        boffs = pc4.block_offsets_from_keys(keys, BLOCK)
+        boffs = pc4.block_offsets_from_keys_flat(keys, BLOCK)
         return pc4.decode_w2(keys, data, boffs, block=BLOCK,
                              flavor="zz16", slack=SLACK)
 
@@ -82,6 +82,8 @@ def main():
     k4, d4, t4, o4 = enc4(xs[0])
     t3v, t4v = int(t3[None][0]), int(t4[None][0])
     assert t3v == t4v, (t3v, t4v)
+    kmism = int(jnp.sum((k3 != k4).astype(jnp.int32))[None][0])
+    assert kmism == 0, f"keys mismatch: {kmism}"
     mism = int(jnp.sum((d3[:t3v] != d4[:t4v]).astype(jnp.int32))[None][0])
     print(f"# enc outputs match: {mism == 0} (total {t4v})", file=sys.stderr)
     assert mism == 0

@@ -102,6 +102,11 @@ _PALLAS_FLAVOR = {(2, True): "zz16", (2, False): "none16",
                   (1, True): "zz8", (1, False): "none8",
                   (4, True): "zz32", (4, False): "none32"}
 
+# pallas_codec4 (W2): the in-kernel key pack/unpack needs the per-block key
+# rows (block/512) to be a multiple of the u8 sublane tile (32).
+_PC4_MIN_BLOCK = 16384
+_PC4_SLACK = 2048
+
 
 class PallasSvbBackend(JaxSvbBackend):
     """StreamVByte stage on the Pallas TPU kernels (butterfly routing in
@@ -166,6 +171,17 @@ class PallasSvbBackend(JaxSvbBackend):
         if wide:
             keys, data_x, _ = pc3.encode_w4(jnp.asarray(x), block=block,
                                             flavor=flavor)
+        elif block >= _PC4_MIN_BLOCK:
+            # v4 kernels (alignment-split routing, in-kernel MXU key pack)
+            # with overflow fallback to the codec3 general kernel.
+            from ..ops import pallas_codec4 as pc4
+
+            keys, data_x, _, ovf = pc4.encode_w2(
+                jnp.asarray(x), block=block, flavor=flavor,
+                slack=_PC4_SLACK)
+            if int(ovf):
+                keys, data_x, _ = pc3.encode_w2(jnp.asarray(x), block=block,
+                                                flavor=flavor)
         else:
             keys, data_x, _ = pc3.encode_w2(jnp.asarray(x), block=block,
                                             flavor=flavor)
@@ -228,14 +244,32 @@ class PallasSvbBackend(JaxSvbBackend):
         # Pad codes are 0 → each pad value reads 1 byte past the real data;
         # supply zeros there (the kernel pads the expanded buffer itself).
         data_np = buf[key_len:].astype(np.int32)
-        boffs = _pc3.block_offsets_from_keys(
-            jnp.asarray(keys_pad), block, four_byte_codes=wide)
         if wide:
+            boffs = _pc3.block_offsets_from_keys(
+                jnp.asarray(keys_pad), block, four_byte_codes=True)
             out = _pc3.decode_w4(jnp.asarray(keys_pad), jnp.asarray(data_np),
                                  boffs, block=block, flavor=flavor)
         else:
-            out = _pc3.decode_w2(jnp.asarray(keys_pad), jnp.asarray(data_np),
-                                 boffs, block=block, flavor=flavor)
+            # v4 compact decode needs every block's data section to fit
+            # block + slack bytes (checked host-side from the codes).
+            extra_pad = np.zeros(N, np.int64)
+            extra_pad[:count] = lens - 1
+            per_block_extra = extra_pad.reshape(-1, block).sum(axis=1)
+            if block >= _PC4_MIN_BLOCK and \
+                    per_block_extra.max() <= _PC4_SLACK:
+                from ..ops import pallas_codec4 as pc4
+
+                kj = jnp.asarray(keys_pad)
+                out = pc4.decode_w2(
+                    kj, jnp.asarray(data_np),
+                    pc4.block_offsets_from_keys_flat(kj, block),
+                    block=block, flavor=flavor, slack=_PC4_SLACK)
+            else:
+                boffs = _pc3.block_offsets_from_keys(
+                    jnp.asarray(keys_pad), block)
+                out = _pc3.decode_w2(jnp.asarray(keys_pad),
+                                     jnp.asarray(data_np),
+                                     boffs, block=block, flavor=flavor)
         return np.asarray(out[:count])
 
 

@@ -15,9 +15,14 @@ Changes vs :mod:`.pallas_codec3` (measured on the int16 signal bench):
   (a ``log2(SR*LANES)``-stage conditional shift ladder in codec3) becomes a
   single dynamic sublane roll (the shift is always a multiple of 1024 =
   8 rows).
-- **Decode codes travel as int8.** codec3 materializes the per-value
-  hi-byte flags as an i32 array in XLA (~8 B/value of HBM round trip);
-  v4 passes them as i8 and widens in-kernel.
+- **Key bytes are produced and consumed IN-KERNEL.** codec3 computes the
+  key section with a separate XLA pass whose ``(N/4, 4)`` reshape forces a
+  layout-hostile relayout on TPU — measured at ~86% of total encode time
+  (tools/ab_enc_attrib.py: 4.4 GB/s with the pass, 31.9 GB/s without).
+  v4 packs 4 codes/byte with one bf16 MXU matmul (exact: all integers
+  <= 256) inside the encode kernel, and expands key bytes back to codes
+  inside the decode kernel the same way; no XLA pass touches the input or
+  key stream at all.
 
 Wire format and outputs are IDENTICAL to codec3's ``encode_w2``/
 ``decode_w2`` (same expanded-i32 data section, same key bytes), mirroring
@@ -53,7 +58,6 @@ from .pallas_codec3 import (
     _route_msb,
     _route_msb_masks,
     _reverse_replay,
-    _xla_values,
     block_offsets_from_keys,
 )
 
@@ -62,6 +66,19 @@ __all__ = [
     "decode_w2",
     "block_offsets_from_keys",
 ]
+
+
+def block_offsets_from_keys_flat(keys: jax.Array, block: int) -> jax.Array:
+    """Per-block data-section byte offsets for W2 streams, computed WITHOUT
+    the layout-hostile ``(N/4, 4)`` reshape (flat elementwise + reduction).
+    Valid for well-formed W2 keys (codes 0/1)."""
+    kb = keys.astype(jnp.int32)
+    extra = (((kb & 3) != 0).astype(jnp.int32)
+             + (((kb >> 2) & 3) != 0).astype(jnp.int32)
+             + (((kb >> 4) & 3) != 0).astype(jnp.int32)
+             + (((kb >> 6) & 3) != 0).astype(jnp.int32))
+    bsum = block + extra.reshape(-1, block // 4).sum(axis=1)
+    return (jnp.cumsum(bsum) - bsum).astype(jnp.int32)
 
 
 def _flat_dyn_shift_right(x: jax.Array, a) -> jax.Array:
@@ -108,13 +125,48 @@ def _row_dyn_shift_left(x: jax.Array, a) -> jax.Array:
     return jnp.where(ridx < R - rows, xr, 0)
 
 
+
+
+def _pack_keys_mxu(c: jax.Array) -> jax.Array:
+    """Pack per-value 2-bit codes [RV,128] into key bytes [RV//4,128] with a
+    bf16 MXU matmul (exact: operands and sums are integers <= 256)."""
+    RV = c.shape[0]
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (RV, LANES), 1)
+    wc = (c << (2 * (lidx & 3))).reshape(RV // 4, 4 * LANES)
+    j = jax.lax.broadcasted_iota(jnp.int32, (4 * LANES, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (4 * LANES, LANES), 1)
+    G = (j // 4 == l).astype(jnp.bfloat16)
+    K = jax.lax.dot_general(wc.astype(jnp.bfloat16), G,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return K.astype(jnp.int32)
+
+
+def _unpack_keys_mxu(kb: jax.Array) -> jax.Array:
+    """Expand key bytes [KR,128] (any int dtype) to per-value 2-bit codes
+    [KR*4,128] via a bf16 MXU replicate-matmul (exact <= 256)."""
+    KR = kb.shape[0]
+    kf = kb.astype(jnp.int32).astype(jnp.bfloat16)
+    li = jax.lax.broadcasted_iota(jnp.int32, (LANES, 4 * LANES), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (LANES, 4 * LANES), 1)
+    R = (li == j // 4).astype(jnp.bfloat16)
+    Krep = jax.lax.dot_general(kf, R, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    Krep = Krep.astype(jnp.int32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (KR, 4 * LANES), 1)
+    codes = (Krep >> (2 * (jj & 3))) & 3
+    return codes.reshape(KR * 4, LANES)
+
+
+
+
 # ---------------------------------------------------------------------------
 # Encode
 # ---------------------------------------------------------------------------
 
 
 def _encode_kernel_factory(d_bits: int, flavor: str, slack: int):
-    def _encode_block_kernel(x_ref, data_ref, total_ref, state_ref,
+    def _encode_block_kernel(x_ref, keys_ref, data_ref, total_ref, state_ref,
                              carry_ref, stage_ref, sem):
         RV, _ = x_ref.shape                  # (V//128, 128)
         V = RV * LANES
@@ -136,6 +188,7 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int):
         state_ref[1] = prev_out
 
         c = _codes_w2(v)
+        keys_ref[:] = _pack_keys_mxu(c).astype(jnp.uint8)
         E = _flat_prefix_sum_incl(c) - c
         e_last = E[RV - 1, LANES - 1] + c[RV - 1, LANES - 1]
         block_len = V + e_last
@@ -226,22 +279,21 @@ def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
     out_len = N + nblocks * ext + block + ext + 2 * ALIGN
 
     x2 = x.reshape(N // LANES, LANES)
+    KR = RV // 4
 
-    kc = _codes_w2(_xla_values(flavor, x)).astype(
-        jnp.uint32).reshape(N // 4, 4)
-    keys = (kc[:, 0] | (kc[:, 1] << 2) | (kc[:, 2] << 4)
-            | (kc[:, 3] << 6)).astype(jnp.uint8)
-
-    data_x, total = pl.pallas_call(
+    keys, data_x, total = pl.pallas_call(
         _encode_kernel_factory(d_bits, flavor, slack),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
+            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((N // 512, LANES), jnp.uint8),
             jax.ShapeDtypeStruct((out_len,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
@@ -253,7 +305,7 @@ def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(x2)
-    return keys, data_x, total[0], total[1]
+    return keys.reshape(N // 4), data_x, total[0], total[1]
 
 
 # ---------------------------------------------------------------------------
@@ -262,9 +314,9 @@ def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
 
 
 def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
-    def _decode_block_kernel(c_ref, boff_ref, data_ref, out_ref, state_ref,
+    def _decode_block_kernel(keys_ref, boff_ref, data_ref, out_ref, state_ref,
                              stage_a, stage_b, sem_a, sem_b):
-        RV = c_ref.shape[0]
+        RV = keys_ref.shape[0] * 4
         V = RV * LANES
         ext = slack
         k = pl.program_id(0)
@@ -274,7 +326,8 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
         def _():
             state_ref[0] = 0
 
-        c = c_ref[:].astype(jnp.int32)       # hi-byte flags (i8 in HBM)
+        # Hi-byte flags straight from the key bytes (bf16 MXU expansion).
+        c = (_unpack_keys_mxu(keys_ref[:]) != 0).astype(jnp.int32)
         E = _flat_prefix_sum_incl(c) - c
 
         # Two-buffer prefetch (see codec3).
@@ -374,17 +427,14 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
             [data_expanded,
              jnp.zeros(need - data_expanded.shape[0], jnp.int32)])
 
-    kb = keys.astype(jnp.uint32)
-    codes = jnp.stack([kb & 3, (kb >> 2) & 3, (kb >> 4) & 3,
-                       (kb >> 6) & 3], axis=1).reshape(N)
-    c_all = jnp.minimum(codes, 1).astype(jnp.int8).reshape(
-        N // LANES, LANES)
+    keys2 = keys.reshape(N // 512, LANES)
+    KR = RV // 4
 
     out = pl.pallas_call(
         _decode_kernel_factory(d_bits, flavor, slack),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -401,5 +451,5 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(c_all, block_offsets.astype(jnp.int32), data_expanded)
+    )(keys2, block_offsets.astype(jnp.int32), data_expanded)
     return out.reshape(N)
