@@ -188,6 +188,81 @@ def vbz_decompress_sized(stream, options: CompressionOptions,
 
 
 # ---------------------------------------------------------------------------
+# Bulk batch API (BASELINE config: "bulk multi-read batch ... sharded
+# data-parallel on one host"). Backends exposing svb_*_batch get all chunks
+# queued on-device before any result is pulled; other backends loop.
+# ---------------------------------------------------------------------------
+
+
+def vbz_compress_sized_batch(chunks, options: CompressionOptions,
+                             backend=scalar) -> list:
+    """Sized-compress many chunks; the device pipeline overlaps chunk
+    encodes with host pulls when the backend supports batching."""
+    options.validate()
+    raws = [_as_bytes(c) for c in chunks]
+    headers = [struct.pack("<I", len(r)) for r in raws]
+    current = raws
+    if options.integer_size != 0:
+        options.validate_version()
+        batch_fn = getattr(backend, "svb_compress_batch", None)
+        if batch_fn is not None:
+            current = batch_fn(raws, options.integer_size,
+                               options.perform_delta_zig_zag,
+                               options.vbz_version)
+        else:
+            current = [backend.svb_compress(
+                r, options.integer_size, options.perform_delta_zig_zag,
+                options.vbz_version) for r in raws]
+        current = [x if isinstance(x, (bytes, bytearray)) else bytes(x)
+                   for x in current]
+    if options.zstd_compression_level != 0:
+        current = [zstd_compress(x, options.zstd_compression_level)
+                   for x in current]
+    return [h + bytes(x) for h, x in zip(headers, current)]
+
+
+def vbz_decompress_sized_batch(streams, options: CompressionOptions,
+                               backend=scalar) -> list:
+    """Inverse of :func:`vbz_compress_sized_batch`; returns a list of
+    ``bytes`` (each chunk's original buffer)."""
+    options.validate()
+    raws = [_as_bytes(s) for s in streams]
+    sizes = [vbz_decompressed_size(r, options) for r in raws]
+    bodies = [r[SIZED_HEADER_BYTES:] for r in raws]
+    if options.zstd_compression_level != 0:
+        contents = []
+        for body, dst in zip(bodies, sizes):
+            content_size = zstd_frame_content_size(body)
+            if options.integer_size == 0 and content_size > dst:
+                raise VbzError(VBZ_DESTINATION_SIZE_ERROR)
+            contents.append(zstd_decompress(body, content_size))
+    else:
+        contents = bodies
+    if options.integer_size == 0:
+        for content, dst in zip(contents, sizes):
+            if len(content) > dst:
+                raise VbzError(VBZ_DESTINATION_SIZE_ERROR)
+        return contents
+    options.validate_version()
+    counts = []
+    for dst in sizes:
+        if dst % options.integer_size != 0:
+            raise VbzError(VBZ_DESTINATION_SIZE_ERROR,
+                           f"{dst} % {options.integer_size} != 0")
+        counts.append(dst // options.integer_size)
+    batch_fn = getattr(backend, "svb_decompress_batch", None)
+    if batch_fn is not None:
+        outs = batch_fn(contents, counts, options.integer_size,
+                        options.perform_delta_zig_zag, options.vbz_version)
+    else:
+        outs = [backend.svb_decompress(
+            content, count, options.integer_size,
+            options.perform_delta_zig_zag, options.vbz_version)
+            for content, count in zip(contents, counts)]
+    return [np.ascontiguousarray(o).tobytes() for o in outs]
+
+
+# ---------------------------------------------------------------------------
 # pyvbz-compatible numpy API (reference: python/pyvbz/vbz/__init__.py:21-76)
 # ---------------------------------------------------------------------------
 

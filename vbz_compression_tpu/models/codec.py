@@ -14,6 +14,8 @@ cache stays small (SURVEY.md §7 "ragged reads" landmine). Buckets double from
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -107,6 +109,33 @@ _PALLAS_FLAVOR = {(2, True): "zz16", (2, False): "none16",
 _PC4_MIN_BLOCK = 16384
 _PC4_SLACK = 2048
 
+_TRIM_GRAIN = 8192
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _trim_u8_jit(d, cap):
+    return d[:cap].astype(jnp.uint8)
+
+
+def _trim_u8(data_x, data_len: int) -> np.ndarray:
+    """Pull the first ``data_len`` expanded bytes of a device array as u8,
+    slicing on-device at a BUCKETED cap so the jit cache stays small (a
+    per-exact-length slice would recompile for every chunk)."""
+    cap = min(int(data_x.shape[0]),
+              -(-data_len // _TRIM_GRAIN) * _TRIM_GRAIN)
+    return np.asarray(_trim_u8_jit(data_x, cap))[:data_len]
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _slice_jit(d, cap):
+    return d[:cap]
+
+
+def _pull_prefix(arr, n: int) -> np.ndarray:
+    """Pull the first ``n`` elements of a device array (bucketed cap)."""
+    cap = min(int(arr.shape[0]), -(-n // _MIN_BUCKET) * _MIN_BUCKET)
+    return np.asarray(_slice_jit(arr, cap))[:n]
+
 
 class PallasSvbBackend(JaxSvbBackend):
     """StreamVByte stage on the Pallas TPU kernels (butterfly routing in
@@ -144,13 +173,8 @@ class PallasSvbBackend(JaxSvbBackend):
             b *= 2
         return b
 
-    def svb_compress(self, data, integer_size: int, use_zigzag: bool,
-                     version: int) -> bytes:
-        if not self._pallas_ok() or (version == 1 and integer_size == 1):
-            return super().svb_compress(data, integer_size, use_zigzag,
-                                        version)
-        from ..ops import pallas_codec3 as pc3
-
+    @staticmethod
+    def _typed_input(data, integer_size: int) -> np.ndarray:
         raw = np.frombuffer(bytes(data), dtype=np.uint8) if not isinstance(
             data, np.ndarray) else np.ascontiguousarray(
                 data).view(np.uint8).ravel()
@@ -158,62 +182,90 @@ class PallasSvbBackend(JaxSvbBackend):
             from ..errors import VBZ_INPUT_SIZE_ERROR
             raise VbzError(VBZ_INPUT_SIZE_ERROR,
                            f"{raw.size} % {integer_size} != 0")
-        typed = raw.view(_SIGNED_FOR_SIZE[integer_size])
+        return raw.view(_SIGNED_FOR_SIZE[integer_size])
+
+    def _queue_encode(self, typed: np.ndarray, integer_size: int,
+                      use_zigzag: bool) -> dict:
+        """Start the device encode for one chunk (async — no host pull)."""
+        from ..ops import pallas_codec3 as pc3
+
         n = typed.size
-        if n == 0:
-            return b""
         flavor = _PALLAS_FLAVOR[(integer_size, use_zigzag)]
         wide = flavor in pc3.W4_FLAVORS
         block = self._block_for(flavor, bucket_size(n), integer_size)
         N = max(bucket_size(n), block)
         x = np.full(N, typed[-1] if use_zigzag else 0, dtype=typed.dtype)
         x[:n] = typed
+        xj = jnp.asarray(x)
+        ovf = None
         if wide:
-            keys, data_x, _ = pc3.encode_w4(jnp.asarray(x), block=block,
-                                            flavor=flavor)
+            keys, data_x, _ = pc3.encode_w4(xj, block=block, flavor=flavor)
         elif block >= _PC4_MIN_BLOCK:
             # v4 kernels (alignment-split routing, in-kernel MXU key pack)
             # with overflow fallback to the codec3 general kernel.
             from ..ops import pallas_codec4 as pc4
 
             keys, data_x, _, ovf = pc4.encode_w2(
-                jnp.asarray(x), block=block, flavor=flavor,
-                slack=_PC4_SLACK)
-            if int(ovf):
-                keys, data_x, _ = pc3.encode_w2(jnp.asarray(x), block=block,
-                                                flavor=flavor)
+                xj, block=block, flavor=flavor, slack=_PC4_SLACK)
         else:
-            keys, data_x, _ = pc3.encode_w2(jnp.asarray(x), block=block,
-                                            flavor=flavor)
+            keys, data_x, _ = pc3.encode_w2(xj, block=block, flavor=flavor)
+        return dict(keys=keys, data=data_x, ovf=ovf, xj=xj, n=n,
+                    block=block, flavor=flavor, wide=wide)
+
+    def _finish_encode(self, rec: dict) -> bytes:
+        """Pull one queued encode's results and assemble the svb stream."""
+        from ..ops import pallas_codec3 as pc3
+
+        keys, data_x = rec["keys"], rec["data"]
+        if rec["ovf"] is not None and int(rec["ovf"]):
+            keys, data_x, _ = pc3.encode_w2(
+                rec["xj"], block=rec["block"], flavor=rec["flavor"])
+        n = rec["n"]
         key_len = (n + 3) // 4
         keys_np = np.asarray(keys)
         codes = (np.repeat(keys_np[:key_len], 4) >> np.tile(
             np.array([0, 2, 4, 6], np.uint8), key_len)) & 3
-        if wide:
+        if rec["wide"]:
             lens = codes[:n].astype(np.int64) + 1
         else:
             lens = np.minimum(codes[:n], 1).astype(np.int64) + 1
         data_len = int(lens.sum())
-        dense = np.asarray(
-            jax.jit(lambda d, m: d[:m].astype(jnp.uint8),
-                    static_argnums=1)(data_x, data_len))
+        dense = _trim_u8(data_x, data_len)
         return keys_np[:key_len].tobytes() + dense.tobytes()
 
-    def svb_decompress(self, stream, count: int, integer_size: int,
-                       use_zigzag: bool, version: int) -> np.ndarray:
+    def svb_compress(self, data, integer_size: int, use_zigzag: bool,
+                     version: int) -> bytes:
         if not self._pallas_ok() or (version == 1 and integer_size == 1):
-            return super().svb_decompress(stream, count, integer_size,
-                                          use_zigzag, version)
+            return super().svb_compress(data, integer_size, use_zigzag,
+                                        version)
+        typed = self._typed_input(data, integer_size)
+        if typed.size == 0:
+            return b""
+        return self._finish_encode(
+            self._queue_encode(typed, integer_size, use_zigzag))
+
+    def svb_compress_batch(self, arrays, integer_size: int, use_zigzag: bool,
+                           version: int) -> list:
+        """Bulk encode: queue every chunk's device calls before pulling any
+        result, so the device pipeline overlaps compute with host pulls
+        (BASELINE config: "bulk multi-read batch ... on one host")."""
+        if not self._pallas_ok() or (version == 1 and integer_size == 1):
+            return [self.svb_compress(a, integer_size, use_zigzag, version)
+                    for a in arrays]
+        recs = []
+        for data in arrays:
+            typed = self._typed_input(data, integer_size)
+            recs.append(None if typed.size == 0 else
+                        self._queue_encode(typed, integer_size, use_zigzag))
+        return [b"" if r is None else self._finish_encode(r) for r in recs]
+
+    def _queue_decode(self, buf: np.ndarray, count: int, integer_size: int,
+                      use_zigzag: bool):
+        """Validate the stream host-side and start the device decode
+        (async — no host pull). ``buf``/``count`` must be non-empty."""
         from ..ops import pallas_codec3 as pc3
 
-        buf = np.frombuffer(bytes(stream), dtype=np.uint8) if not isinstance(
-            stream, np.ndarray) else stream.astype(np.uint8, copy=False)
         in_len = buf.size
-        if count == 0 or in_len == 0:
-            if in_len != count:
-                raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR,
-                               "empty stream mismatch")
-            return np.zeros(0, dtype=_SIGNED_FOR_SIZE[integer_size])
         key_len = (count + 3) // 4
         if in_len < key_len:
             raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR, "stream too short")
@@ -270,7 +322,52 @@ class PallasSvbBackend(JaxSvbBackend):
                 out = _pc3.decode_w2(jnp.asarray(keys_pad),
                                      jnp.asarray(data_np),
                                      boffs, block=block, flavor=flavor)
-        return np.asarray(out[:count])
+        return out
+
+    @staticmethod
+    def _check_nonempty(buf: np.ndarray, count: int):
+        if count == 0 or buf.size == 0:
+            if buf.size != count:
+                raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR,
+                               "empty stream mismatch")
+            return True
+        return False
+
+    @staticmethod
+    def _as_u8(stream) -> np.ndarray:
+        return np.frombuffer(bytes(stream), dtype=np.uint8) if not isinstance(
+            stream, np.ndarray) else stream.astype(np.uint8, copy=False)
+
+    def svb_decompress(self, stream, count: int, integer_size: int,
+                       use_zigzag: bool, version: int) -> np.ndarray:
+        if not self._pallas_ok() or (version == 1 and integer_size == 1):
+            return super().svb_decompress(stream, count, integer_size,
+                                          use_zigzag, version)
+        buf = self._as_u8(stream)
+        if self._check_nonempty(buf, count):
+            return np.zeros(0, dtype=_SIGNED_FOR_SIZE[integer_size])
+        out = self._queue_decode(buf, count, integer_size, use_zigzag)
+        return _pull_prefix(out, count)
+
+    def svb_decompress_batch(self, streams, counts, integer_size: int,
+                             use_zigzag: bool, version: int) -> list:
+        """Bulk decode: queue every chunk's device decode before pulling any
+        result (mirror of :meth:`svb_compress_batch`)."""
+        if not self._pallas_ok() or (version == 1 and integer_size == 1):
+            return [self.svb_decompress(s, c, integer_size, use_zigzag,
+                                        version)
+                    for s, c in zip(streams, counts)]
+        outs = []
+        for stream, count in zip(streams, counts):
+            buf = self._as_u8(stream)
+            if self._check_nonempty(buf, count):
+                outs.append(None)
+            else:
+                outs.append(self._queue_decode(buf, count, integer_size,
+                                               use_zigzag))
+        return [np.zeros(0, dtype=_SIGNED_FOR_SIZE[integer_size])
+                if o is None else _pull_prefix(o, c)
+                for o, c in zip(outs, counts)]
 
 
 jax_backend = JaxSvbBackend()

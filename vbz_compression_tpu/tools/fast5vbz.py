@@ -64,6 +64,16 @@ def compress_fast5(input_path: str, output_path: str, *, decompress: bool,
                    for name, dset in hdf5_chunks.iter_signal_datasets(fin)]
         skip = {f"{name}/Raw/Signal" for name, _sig, _a in signals}
         _copy_tree_except_signals(fin, f, skip)
+        opts = CompressionOptions(True, 2, zstd_level, vbz_version)
+        if not decompress:
+            # Bulk device batch path: every chunk's encode is queued
+            # on-device before any compressed frame is pulled back
+            # (api.vbz_compress_sized_batch).
+            payloads = dict(zip(
+                (name for name, _s, _a in signals),
+                api.vbz_compress_sized_batch(
+                    [sig for _n, sig, _a in signals], opts,
+                    backend=backend)))
         for name, signal, attrs in signals:
             grp = f[name]["Raw"]
             if decompress:
@@ -71,10 +81,7 @@ def compress_fast5(input_path: str, output_path: str, *, decompress: bool,
                     "Signal", data=signal, chunks=(max(signal.size, 1),),
                     compression="gzip", compression_opts=1)
             else:
-                opts = CompressionOptions(True, 2, zstd_level, vbz_version)
-                payload = np.frombuffer(
-                    api.vbz_compress_sized(signal, opts, backend=backend),
-                    dtype=np.uint8)
+                payload = np.frombuffer(payloads[name], dtype=np.uint8)
                 # Write the pre-compressed chunk directly — no plugin needed.
                 space = h5py.h5s.create_simple((max(signal.size, 1),))
                 dcpl = h5py.h5p.create(h5py.h5p.DATASET_CREATE)
