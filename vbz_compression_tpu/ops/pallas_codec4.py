@@ -189,27 +189,37 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int):
 
         c = _codes_w2(v)
         keys_ref[:] = _pack_keys_mxu(c).astype(jnp.uint8)
-        E = _flat_prefix_sum_incl(c) - c
-        e_last = E[RV - 1, LANES - 1] + c[RV - 1, LANES - 1]
-        block_len = V + e_last
-        total_ref[1] = total_ref[1] | (e_last > slack).astype(jnp.int32)
-        block_len = jnp.minimum(block_len, V + slack)
+        # One cheap reduction decides the whole block's shape: e_sum is the
+        # extra-byte count (== the prefix sum's last slot, computed without
+        # the prefix sum).
+        e_sum = jnp.sum(c)
+        block_len = jnp.minimum(V + e_sum, V + slack)
+        total_ref[1] = total_ref[1] | (e_sum > slack).astype(jnp.int32)
 
-        # Route each value's u16 payload to slot i + E(i). Unlike codec3 the
-        # DMA misalignment is NOT part of the displacement, so dmax is the
-        # block's true extra-byte count — ~0 on compressible signal, and the
-        # data-adaptive skip disables nearly every stage.
         off = state_ref[0]
         a = off & (A_GRAN - 1)
         SR = RV + ext_rows
-        dmax = E[RV - 1, LANES - 1]          # E is monotone: last slot is max
-        chan = v | (1 << OCC_BIT) | (E << D_SHIFT)
-        chan = jnp.concatenate(
-            [chan, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
-        (routed,) = _route_msb(chan, d_bits, dmax=dmax)
-        # byte[q] = lo byte landed at q | hi byte of the value at q-1.
-        data_bytes = (routed & 0xFF) | \
-            ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
+
+        # Route each value's u16 payload to slot i + E(i). Unlike codec3 the
+        # DMA misalignment is NOT part of the displacement, so dmax is the
+        # block's true extra-byte count — ~0 on compressible signal. A block
+        # with NO extra bytes (every v < 256, the common signal case) skips
+        # the prefix sum and the whole routing network with one real branch.
+        def _routed_bytes(v):
+            E = _flat_prefix_sum_incl(c) - c
+            chan = v | (1 << OCC_BIT) | (E << D_SHIFT)
+            chan = jnp.concatenate(
+                [chan, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
+            (routed,) = _route_msb(chan, d_bits, dmax=e_sum)
+            # byte[q] = lo byte landed at q | hi byte of the value at q-1.
+            return (routed & 0xFF) | \
+                ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
+
+        def _trivial_bytes(v):
+            return jnp.concatenate(
+                [v, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
+
+        data_bytes = jax.lax.cond(e_sum > 0, _routed_bytes, _trivial_bytes, v)
 
         # Align: one uniform dynamic shift instead of +a displacements.
         data_bytes = _flat_dyn_shift_right(data_bytes, a)
@@ -328,7 +338,7 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
 
         # Hi-byte flags straight from the key bytes (bf16 MXU expansion).
         c = (_unpack_keys_mxu(keys_ref[:]) != 0).astype(jnp.int32)
-        E = _flat_prefix_sum_incl(c) - c
+        e_sum = jnp.sum(c)                   # block's extra-byte count
 
         # Two-buffer prefetch (see codec3).
         FW = V + ext + ALIGN
@@ -369,19 +379,25 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
         ).reshape(RV + ext_rows, LANES)
 
         # Un-align with one uniform dynamic shift, then replay the routing
-        # with the true displacements E (dmax = e_last, stages mostly skip).
+        # with the true displacements E (dmax = e_sum, stages mostly skip; a
+        # block with NO extra bytes skips the prefix sum and the whole
+        # simulate+replay machinery with one real branch).
         fetched = _flat_dyn_shift_left(fetched, a)
         w = (fetched & 0xFF) | \
             ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
-        dmax = E[RV - 1, LANES - 1]
-        zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
-        occupied = jnp.concatenate(
-            [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
-        d = jnp.concatenate([E, zeros_rest], axis=0)
-        [w16] = _reverse_replay(
-            [w], _route_msb_masks(d, occupied, d_bits, dmax=dmax),
-            dmax=dmax)
-        w16 = w16[:RV]
+
+        def _replayed(w):
+            E = _flat_prefix_sum_incl(c) - c
+            zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
+            occupied = jnp.concatenate(
+                [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
+            d = jnp.concatenate([E, zeros_rest], axis=0)
+            [w16] = _reverse_replay(
+                [w], _route_msb_masks(d, occupied, d_bits, dmax=e_sum),
+                dmax=e_sum)
+            return w16[:RV]
+
+        w16 = jax.lax.cond(e_sum > 0, _replayed, lambda w: w[:RV], w)
         vals = (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
 
         # Inverse transform.
