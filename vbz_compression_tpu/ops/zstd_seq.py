@@ -259,9 +259,12 @@ def _sequences_block(buf: np.ndarray, bstart: int, bend: int,
     return content
 
 
-def compress_frame(data: bytes) -> bytes:
+def compress_frame(data: bytes, matcher: str = "host") -> bytes:
     """Complete zstd frame with LZ77 matches + entropy-coded sequences;
     per block the cheapest of {sequences, Huffman-literals, RLE, raw} wins.
+
+    ``matcher``: "host" = full hash index (NumPy); "tpu" = bounded-offset
+    compare scan on the accelerator (:mod:`.zstd_match_tpu`).
     """
     buf = np.frombuffer(data, dtype=np.uint8)
     n = buf.size
@@ -276,7 +279,12 @@ def compress_frame(data: bytes) -> bytes:
         out.append((1 | (0 << 1) | (0 << 3)).to_bytes(3, "little"))
         return b"".join(out)
 
-    prev, v4 = build_match_index(buf)
+    if matcher == "tpu":
+        from . import zstd_match_tpu
+
+        prev, v4 = zstd_match_tpu.build_match_index_tpu(buf)
+    else:
+        prev, v4 = build_match_index(buf)
     pos = 0
     while pos < n:
         bend = min(pos + zstd_huff.BLOCK_MAX, n)
