@@ -140,3 +140,13 @@ def test_h5repack_cli(tmp_path):
     assert r.returncode == 0, r.stderr
     with h5py.File(dst) as f:
         np.testing.assert_array_equal(f["s"][...], sig)
+
+
+def test_native_selftest_binary():
+    """The C++ unit suite (golden vectors + sweeps, counterpart of the
+    reference's Catch2 tests) must pass."""
+    subprocess.run(["make", "-C", NATIVE, "-s", "vbz_selftest"], check=True)
+    out = subprocess.run([os.path.join(NATIVE, "vbz_selftest")],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "all tests passed" in out.stdout
