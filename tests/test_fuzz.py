@@ -144,3 +144,33 @@ def _native_decompress(nb, blob, dst_size, opts):
     if vbz_is_error(r):
         raise VbzError(r)
     return out[:dst_size].tobytes()
+
+
+REF_CORPUS = "/root/reference/vbz/fuzzing/fuzz_corpus"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CORPUS),
+                    reason="reference corpus not mounted")
+def test_fuzz_reference_corpus_replay():
+    """Replay the reference's checked-in 238-file fuzz corpus through the
+    same two properties its harness applies per input
+    (``vbz_fuzz_runner.cpp:26-58`` -> ``vbz_fuzz.cpp:63-161``): round-trip
+    every config on the raw bytes, and adversarial decompress with doubling
+    output-size probes."""
+    files = sorted(os.listdir(REF_CORPUS))
+    assert len(files) >= 200
+    for fname in files:
+        with open(os.path.join(REF_CORPUS, fname), "rb") as f:
+            blob = f.read()
+        data = blob[: len(blob) - (len(blob) % 4)]  # widths need %4 == 0
+        for opts in CONFIGS:
+            sized = api.vbz_compress_sized(data, opts)
+            assert api.vbz_decompress_sized(sized, opts) == data
+            size = 4
+            while size <= 1 << 16:
+                try:
+                    out = api.vbz_decompress(blob, size, opts)
+                    assert isinstance(out, bytes)  # no-crash property
+                except VbzError:
+                    pass
+                size *= 2
