@@ -77,24 +77,24 @@ def tpu_codec_gbps() -> float:
     SLACK = 2048  # compact-kernel extra-bytes budget per block
     sig = make_signal(B * N).reshape(B, N)
 
-    # Preferred path: Pallas v4 kernels (alignment-split butterfly routing,
-    # in-kernel MXU key pack/unpack, fused delta+zigzag). Falls back to the
+    # Preferred path: Pallas v5 kernels (alignment-split butterfly routing,
+    # in-kernel MXU key pack/unpack, int8 data plane). Falls back to the
     # XLA gather-free formulation if they fail to compile on this backend.
     try:
         from vbz_compression_tpu.ops import pallas_codec3 as pc3
-        from vbz_compression_tpu.ops import pallas_codec4 as pc4
+        from vbz_compression_tpu.ops import pallas_codec5 as pc5
 
         # Compact variant: the routed array spans block+SLACK (not 2*block)
         # slots; overflowing blocks are flagged and the codec3 general
         # kernel takes over (signal workloads essentially never overflow).
         @jax.jit
         def enc_c(x):
-            return pc4.encode_w2(x, block=BLOCK, flavor="zz16", slack=SLACK)
+            return pc5.encode_w2(x, block=BLOCK, flavor="zz16", slack=SLACK)
 
         @jax.jit
         def dec_c(keys, data):
-            boffs = pc4.block_offsets_from_keys_flat(keys, BLOCK)
-            return pc4.decode_w2(keys, data, boffs, block=BLOCK,
+            boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK)
+            return pc5.decode_w2(keys, data, boffs, block=BLOCK,
                                  flavor="zz16", slack=SLACK)
 
         @jax.jit

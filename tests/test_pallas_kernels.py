@@ -274,24 +274,26 @@ def test_pallas4_dyn_shift_helpers():
 
 
 def _roundtrip4(sig: np.ndarray, block: int, slack: int, flavor: str = "zz16",
-                integer_size: int = 2, expect_overflow: bool = False):
+                integer_size: int = 2, expect_overflow: bool = False,
+                mod=None):
+    mod = mod or pc4
     N = sig.size
     ref = scalar.svb_compress(sig, integer_size, True, 0)
     with pltpu.force_tpu_interpret_mode():
-        keys, data, total, ovf = pc4.encode_w2(
+        keys, data, total, ovf = mod.encode_w2(
             jnp.asarray(sig), block=block, flavor=flavor, slack=slack)
     assert bool(int(ovf) != 0) == expect_overflow
     if expect_overflow:
         return
     stream = np.asarray(keys).tobytes() + \
         np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
-    assert stream == ref, "v4 encode not bit-exact"
+    assert stream == ref, "encode not bit-exact"
 
     keysA = np.frombuffer(ref[: N // 4], np.uint8)
     datab = np.frombuffer(ref[N // 4:], np.uint8)
     boffs = pc4.block_offsets_from_keys(jnp.asarray(keysA), block)
     with pltpu.force_tpu_interpret_mode():
-        out = pc4.decode_w2(
+        out = mod.decode_w2(
             jnp.asarray(keysA), jnp.asarray(datab.astype(np.int32)),
             boffs, block=block, flavor=flavor, slack=slack)
     np.testing.assert_array_equal(np.asarray(out), sig)
@@ -336,3 +338,35 @@ def test_pallas4_zz8():
     sig = np.clip(np.cumsum(rng.normal(0, 3, 2048)),
                   -100, 100).astype(np.int8)
     _roundtrip4(sig, 512, 256, flavor="zz8", integer_size=1)
+
+
+# ---------------------------------------------------------------------------
+# v5 kernels (int8 data plane)
+# ---------------------------------------------------------------------------
+
+from vbz_compression_tpu.ops import pallas_codec5 as pc5  # noqa: E402
+
+
+def test_pallas5_roundtrip_signal():
+    rng = np.random.default_rng(0)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 4096)),
+                  -2000, 2000).astype(np.int16)
+    _roundtrip4(sig, 512, 256, mod=pc5)
+
+
+def test_pallas5_roundtrip_mixed_codes():
+    rng = np.random.default_rng(7)
+    sig = np.cumsum(rng.integers(-400, 400, 4096)).astype(np.int16)
+    _roundtrip4(sig, 512, 512, mod=pc5)
+
+
+def test_pallas5_overflow_flag():
+    sig = (np.arange(2048, dtype=np.int32) * 200).astype(np.int16)
+    _roundtrip4(sig, 512, 128, expect_overflow=True, mod=pc5)
+
+
+def test_pallas5_zz8():
+    rng = np.random.default_rng(1)
+    sig = np.clip(np.cumsum(rng.normal(0, 3, 2048)),
+                  -100, 100).astype(np.int8)
+    _roundtrip4(sig, 512, 256, flavor="zz8", integer_size=1, mod=pc5)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from vbz_compression_tpu.ops import pallas_codec3 as pc3
 from vbz_compression_tpu.ops import pallas_codec4 as pc4
+from vbz_compression_tpu.ops import pallas_codec5 as pc5
 
 B, N = 4, 4 * 1024 * 1024
 BLOCK = 32768
@@ -93,16 +94,41 @@ def main():
     assert m == 0, f"v4 round-trip mismatch {m}"
     print("# v4 round-trip ok on chip", file=sys.stderr)
 
+    @jax.jit
+    def enc5(x):
+        return pc5.encode_w2(x, block=BLOCK, flavor="zz16", slack=SLACK)
+
+    @jax.jit
+    def dec5(keys, data):
+        boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK)
+        return pc5.decode_w2(keys, data, boffs, block=BLOCK,
+                             flavor="zz16", slack=SLACK)
+
+    k5, d5, t5, o5 = enc5(xs[0])
+    t5v = int(t5[None][0])
+    assert t5v == t4v, (t5v, t4v)
+    mism5 = int(jnp.sum((d4[:t4v].astype(jnp.int32) & 0xFF)
+                        != (d5[:t5v].astype(jnp.int32) & 0xFF))[None][0])
+    assert mism5 == 0, f"v5 data mismatch: {mism5}"
+    o5r = dec5(k5, d5)
+    m5 = int(jnp.sum(jnp.abs(o5r.astype(jnp.int32)
+                             - xs[0].astype(jnp.int32)))[None][0])
+    assert m5 == 0, f"v5 round-trip mismatch {m5}"
+    print("# v5 bit-exact + round-trip ok on chip", file=sys.stderr)
+
     nbytes = N * 2
     enc3_calls = [lambda x=x: enc3(x)[1] for x in xs]
     enc4_calls = [lambda x=x: enc4(x)[1] for x in xs]
     e3 = [enc3(x)[:2] for x in xs]
     e4 = [enc4(x)[:2] for x in xs]
+    e5 = [enc5(x)[:2] for x in xs]
+    enc5_calls = [lambda x=x: enc5(x)[1] for x in xs]
     dec3_calls = [lambda k=k, d=d: dec3(k, d) for k, d in e3]
     dec4_calls = [lambda k=k, d=d: dec4(k, d) for k, d in e4]
+    dec5_calls = [lambda k=k, d=d: dec5(k, d) for k, d in e5]
 
-    for name, calls in (("enc3", enc3_calls), ("enc4", enc4_calls),
-                        ("dec3", dec3_calls), ("dec4", dec4_calls)):
+    for name, calls in (("enc4", enc4_calls), ("enc5", enc5_calls),
+                        ("dec4", dec4_calls), ("dec5", dec5_calls)):
         g = measure(calls, nbytes)
         print(f"{name}: {g:.3f} GB/s")
 

@@ -1,0 +1,401 @@
+"""Pallas TPU codec kernels, v5 — int8 data plane (W2 hot path).
+
+codec4 moves the expanded data section as ONE int32 PER BYTE (4x HBM write
+amplification on encode, 4x read on decode) because round-1 probing only
+established i32 DMA. Round-2 probing (tools/probe_i8dma.py) shows Mosaic
+handles 1-D **int8** refs: flat i8 VMEM scratch, dynamic-offset DMA against
+i8 HBM refs (offsets provably divisible by the i8 tiling 4096), and
+i8<->i32 casts (cast the flat vector FIRST, then reshape — the fused
+reshape+cast of a 1-D i8 load crashes the remote compiler).
+
+v5 therefore stages bytes as i8: in-VMEM routing/assembly still runs in
+i32 (VPU-native), but the staging buffers, the DMA, and the HBM data
+section are bytes — the alignment granularity grows to 4096 (i8 tiling),
+which the codec4 alignment-split absorbs (the misalignment is a uniform
+dynamic shift, not routing displacement). Wire output is IDENTICAL to
+codec3/4; only the expanded-array dtype changes (i8, one true byte each).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_codec2 import (
+    LANES,
+    _flat_prefix_sum_incl,
+    _flat_shift_left,
+    _flat_shift_right,
+)
+from .pallas_codec3 import (
+    D_SHIFT,
+    OCC_BIT,
+    W2_FLAVORS,
+    _INPUT_DTYPE,
+    _codes_w2,
+    _fwd_transform,
+    _last_slot,
+    _route_msb,
+    _route_msb_masks,
+    _reverse_replay,
+)
+from .pallas_codec4 import (
+    _flat_dyn_shift_left,
+    _flat_dyn_shift_right,
+    _pack_keys_mxu,
+    _row_dyn_shift_left,
+    _unpack_keys_mxu,
+    block_offsets_from_keys_flat,
+)
+
+__all__ = ["encode_w2", "decode_w2", "block_offsets_from_keys_flat"]
+
+AG = 4096                 # i8 DMA offset granularity (1-D i8 ref tiling)
+AG_ROWS = AG // LANES     # 32
+
+
+def _lane_psum_mxu(x: jax.Array) -> jax.Array:
+    """Within-row inclusive prefix sum of [R,128] via one bf16 MXU matmul
+    against a triangular 0/1 matrix. EXACTNESS CONTRACT: operands must be
+    bf16-exact integers (<= 256). The MXU accumulates in f32, so row sums up
+    to 2^24 stay exact; on this backend a "f32" matmul lowers to a SINGLE
+    bf16 pass, so non-bf16-exact operands get truncated (measured: feeding
+    16-bit deltas directly round-trips WRONG on chip while passing in
+    interpret mode — split wider operands into bytes instead)."""
+    xb = x.astype(jnp.bfloat16)
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+           ).astype(jnp.bfloat16)
+    return jax.lax.dot_general(xb, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)
+
+
+def _cross_row_psum(ps: jax.Array) -> jax.Array:
+    """Extend within-row inclusive prefix sums to the flat row-major order
+    with log2(R) sublane roll/add stages (i32 — no precision constraint)."""
+    R = ps.shape[0]
+    rt = jnp.broadcast_to(ps[:, LANES - 1:LANES], (R, LANES))
+    acc = rt
+    shift = 1
+    while shift < R:
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        rs = pltpu.roll(acc, shift, 0)
+        acc = acc + jnp.where(ridx >= shift, rs, 0)
+        shift <<= 1
+    return ps + acc - rt
+
+
+def _flat_psum_mxu(x: jax.Array) -> jax.Array:
+    """Flat inclusive prefix sum for bf16-exact operands (e.g. 0/1 flags)."""
+    return _cross_row_psum(_lane_psum_mxu(x))
+
+
+def _flat_psum_mxu16(x: jax.Array) -> jax.Array:
+    """Flat inclusive prefix sum for operands in [0, 2^16): lane psums of
+    the lo/hi bytes (each bf16-exact) recombined, one shared cross-row
+    pass. Cross-row accumulation wraps mod 2^32 like the VPU scan."""
+    lane = _lane_psum_mxu(x & 0xFF) + (_lane_psum_mxu(x >> 8) << 8)
+    return _cross_row_psum(lane)
+
+
+def _ext_bytes(slack: int) -> int:
+    """Staging extension beyond the block: slack + alignment headroom,
+    rounded so the whole staged span stays a multiple of the i8 tile
+    (probed: i8 DMA LENGTHS must be 4096-multiples too)."""
+    return -(-(slack + AG) // AG) * AG
+
+
+def _encode_kernel_factory(d_bits: int, flavor: str, slack: int):
+    def _encode_block_kernel(x_ref, keys_ref, data_ref, total_ref, state_ref,
+                             carry_ref, stage_ref, sem):
+        RV, _ = x_ref.shape
+        V = RV * LANES
+        ext_rows = _ext_bytes(slack) // LANES
+        k = pl.program_id(0)
+        nblocks = pl.num_programs(0)
+
+        @pl.when(k == 0)
+        def _():
+            state_ref[0] = 0                 # running output byte offset
+            state_ref[1] = 0                 # previous sample
+            total_ref[1] = 0                 # overflow flag
+            carry_ref[:] = jnp.zeros((AG_ROWS, LANES), jnp.int32)
+
+        xi = x_ref[:].astype(jnp.int32)
+        if flavor == "zz16":
+            xi = xi & 0xFFFF
+        v, prev_out = _fwd_transform(flavor, xi, state_ref[1])
+        state_ref[1] = prev_out
+
+        c = _codes_w2(v)
+        keys_ref[:] = _pack_keys_mxu(c).astype(jnp.uint8)
+        e_sum = jnp.sum(c)
+        block_len = jnp.minimum(V + e_sum, V + slack)
+        total_ref[1] = total_ref[1] | (e_sum > slack).astype(jnp.int32)
+
+        off = state_ref[0]
+        a = off & (AG - 1)
+        SR = RV + ext_rows
+
+        def _routed_bytes(v):
+            E = _flat_psum_mxu(c) - c
+            chan = v | (1 << OCC_BIT) | (E << D_SHIFT)
+            chan = jnp.concatenate(
+                [chan, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
+            (routed,) = _route_msb(chan, d_bits, dmax=e_sum)
+            return (routed & 0xFF) | \
+                ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
+
+        def _trivial_bytes(v):
+            return jnp.concatenate(
+                [v, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
+
+        data_bytes = jax.lax.cond(e_sum > 0, _routed_bytes, _trivial_bytes, v)
+        data_bytes = _flat_dyn_shift_right(data_bytes, a)
+
+        carry_ext = jnp.concatenate(
+            [carry_ref[:], jnp.zeros((SR - AG_ROWS, LANES), jnp.int32)],
+            axis=0)
+        staged = data_bytes | carry_ext
+
+        @pl.when(k != 0)
+        def _():
+            pltpu.make_async_copy(
+                stage_ref, data_ref.at[pl.ds(0, SR * LANES)], sem).wait()
+        # Stage as true bytes: cast the 2-D i32 expanded array to i8, then
+        # flatten (this direction lowers fine; the reverse needs cast-first).
+        stage_ref[:] = staged.astype(jnp.int8).reshape(SR * LANES)
+
+        wa = pl.multiple_of(off - a, AG)
+        copy = pltpu.make_async_copy(
+            stage_ref, data_ref.at[pl.ds(wa, SR * LANES)], sem)
+        copy.start()
+
+        @pl.when(k == nblocks - 1)
+        def _():
+            copy.wait()
+
+        new_off = off + block_len
+        tail_rel = (new_off & ~(AG - 1)) - (off - a)   # multiple of AG
+        tail = _row_dyn_shift_left(staged, tail_rel)
+        na = new_off & (AG - 1)
+        cidx = jax.lax.broadcasted_iota(
+            jnp.int32, (AG_ROWS, LANES), 0) * LANES + \
+            jax.lax.broadcasted_iota(jnp.int32, (AG_ROWS, LANES), 1)
+        carry_ref[:] = jnp.where(cidx < na, tail[:AG_ROWS], 0)
+
+        state_ref[0] = new_off
+
+        @pl.when(k == nblocks - 1)
+        def _():
+            total_ref[0] = new_off
+
+    return _encode_block_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
+              slack: int = 2048):
+    """codec4 ``encode_w2`` with an int8 expanded data section: returns
+    ``(key_bytes u8 [N//4], data i8 (one TRUE byte per element), data_len,
+    overflow)``."""
+    assert flavor in W2_FLAVORS
+    N = x.shape[0]
+    assert x.dtype == _INPUT_DTYPE[flavor]
+    assert N % block == 0 and block % 512 == 0
+    assert slack % LANES == 0 and 0 < slack <= block
+    d_bits = max(slack.bit_length(), 1)
+    assert D_SHIFT + d_bits <= 32
+    nblocks = N // block
+    RV = block // LANES
+    ext = slack
+    out_len = N + nblocks * ext + block + _ext_bytes(slack) + 2 * AG
+
+    x2 = x.reshape(N // LANES, LANES)
+    KR = RV // 4
+
+    keys, data_x, total = pl.pallas_call(
+        _encode_kernel_factory(d_bits, flavor, slack),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N // 512, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((out_len,), jnp.int8),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((AG_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((block + _ext_bytes(slack),), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x2)
+    return keys.reshape(N // 4), data_x, total[0], total[1]
+
+
+def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
+    def _decode_block_kernel(keys_ref, boff_ref, data_ref, out_ref, state_ref,
+                             stage_a, stage_b, sem_a, sem_b):
+        RV = keys_ref.shape[0] * 4
+        V = RV * LANES
+        k = pl.program_id(0)
+        nblocks = pl.num_programs(0)
+
+        @pl.when(k == 0)
+        def _():
+            state_ref[0] = 0
+
+        c = (_unpack_keys_mxu(keys_ref[:]) != 0).astype(jnp.int32)
+        e_sum = jnp.sum(c)
+
+        # 2-D i8 staging: the data ref is (rows, 128) i8 and windows are
+        # row-granular (4096-byte offsets = 32-row multiples, the i8 tile).
+        FW_ROWS = (V + _ext_bytes(slack)) // LANES
+
+        def _start_fetch(step, stage, sem):
+            bo_s = boff_ref[step]
+            ra_rows = pl.multiple_of(
+                (bo_s - (bo_s & (AG - 1))) // LANES, AG_ROWS)
+            pltpu.make_async_copy(
+                data_ref.at[pl.ds(ra_rows, FW_ROWS)], stage, sem).start()
+
+        even = k % 2 == 0
+
+        @pl.when(k == 0)
+        def _():
+            _start_fetch(k, stage_a, sem_a)
+
+        @pl.when((k + 1 < nblocks) & even)
+        def _():
+            _start_fetch(k + 1, stage_b, sem_b)
+
+        @pl.when((k + 1 < nblocks) & jnp.logical_not(even))
+        def _():
+            _start_fetch(k + 1, stage_a, sem_a)
+
+        bo = boff_ref[k]
+        a = bo & (AG - 1)
+
+        def _take(stage, sem):
+            pltpu.make_async_copy(
+                data_ref.at[pl.ds(0, FW_ROWS)], stage, sem).wait()
+            # widen the 2-D i8 tile directly (probed fast; the flat-vector
+            # widen lowers poorly and the fused reshape+cast crashes).
+            return stage[:].astype(jnp.int32) & 0xFF
+
+        fetched = jax.lax.cond(
+            even,
+            lambda: _take(stage_a, sem_a),
+            lambda: _take(stage_b, sem_b),
+        )
+        ext_rows = _ext_bytes(slack) // LANES
+
+        fetched = _flat_dyn_shift_left(fetched, a)
+
+        def _replayed(fetched):
+            w = fetched | ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
+            E = _flat_psum_mxu(c) - c
+            zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
+            occupied = jnp.concatenate(
+                [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
+            d = jnp.concatenate([E, zeros_rest], axis=0)
+            [w16] = _reverse_replay(
+                [w], _route_msb_masks(d, occupied, d_bits, dmax=e_sum),
+                dmax=e_sum)
+            w16 = w16[:RV]
+            return (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
+
+        # All-code-0 block: every byte at slot i IS value i — no candidate
+        # assembly, no replay.
+        vals = jax.lax.cond(e_sum > 0, _replayed,
+                            lambda fetched: fetched[:RV], fetched)
+
+        u = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+        neg = jnp.uint32(0) - (u & 1)
+        if flavor == "zz16":
+            delta = jax.lax.bitcast_convert_type(
+                ((u >> 1) ^ neg) & 0xFFFF, jnp.int32)
+            # deltas are 16-bit two's-complement residues in [0, 2^16); the
+            # scan only needs acc mod 2^16 (byte-split MXU lane psums).
+            acc = _flat_psum_mxu16(delta) + state_ref[0]
+            out16 = acc & 0xFFFF
+            out_ref[:] = out16.astype(jnp.uint16).astype(jnp.int16)
+            state_ref[0] = _last_slot(out16)
+        else:  # zz8
+            delta = jax.lax.bitcast_convert_type((u >> 1) ^ neg,
+                                                 jnp.int32)
+            acc = _flat_prefix_sum_incl(delta) + state_ref[0]
+            out_ref[:] = (acc & 0xFF).astype(jnp.uint8).astype(jnp.int8)
+            state_ref[0] = _last_slot(acc)
+
+    return _decode_block_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+def decode_w2(keys: jax.Array, data_expanded: jax.Array,
+              block_offsets: jax.Array, block: int = 32768,
+              flavor: str = "zz16", slack: int = 2048):
+    """Inverse of :func:`encode_w2`; ``data_expanded`` holds one true byte
+    per element (i8/u8). Caller contract as codec4."""
+    assert flavor in W2_FLAVORS
+    N = keys.shape[0] * 4
+    assert N % block == 0 and block % 512 == 0
+    assert slack % LANES == 0 and 0 < slack <= block
+    d_bits = max(slack.bit_length(), 1)
+    nblocks = N // block
+    RV = block // LANES
+    ext = slack
+
+    need = N + nblocks * ext + block + _ext_bytes(slack) + 2 * AG
+    need += (-need) % LANES
+    data_expanded = data_expanded.astype(jnp.int8)
+    if data_expanded.shape[0] < need:
+        data_expanded = jnp.concatenate(
+            [data_expanded,
+             jnp.zeros(need - data_expanded.shape[0], jnp.int8)])
+    elif data_expanded.shape[0] % LANES:
+        data_expanded = data_expanded[
+            : data_expanded.shape[0] - data_expanded.shape[0] % LANES]
+    data2 = data_expanded.reshape(-1, LANES)
+
+    keys2 = keys.reshape(N // 512, LANES)
+    KR = RV // 4
+
+    out = pl.pallas_call(
+        _decode_kernel_factory(d_bits, flavor, slack),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (N // LANES, LANES), _INPUT_DTYPE[flavor]),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM(((block + _ext_bytes(slack)) // LANES, LANES),
+                       jnp.int8),
+            pltpu.VMEM(((block + _ext_bytes(slack)) // LANES, LANES),
+                       jnp.int8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(keys2, block_offsets.astype(jnp.int32), data2)
+    return out.reshape(N)
