@@ -1,0 +1,109 @@
+"""Content-dependence measurement: codec5 compact vs codec3 general across
+signal hardness (clean sigma=12, mixed sigma=200, incompressible uniform)."""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from vbz_compression_tpu.ops import pallas_codec3 as pc3
+from vbz_compression_tpu.ops import pallas_codec5 as pc5
+
+B, N = 4, 4 * 1024 * 1024
+BLOCK = 32768
+SLACK = 2048
+
+
+def fence(arr):
+    return float(jnp.sum(arr.astype(jnp.int32).ravel()[:8])[None][0])
+
+
+def measure(calls, nbytes):
+    def run(r):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(r):
+            for c in calls:
+                last = c()
+        fence(last)
+        return time.perf_counter() - t0
+
+    r_lo, r_hi = 4, 24
+    run(1)
+    s = sorted((run(r_hi) - run(r_lo)) / ((r_hi - r_lo) * len(calls))
+               for _ in range(3))[1]
+    return nbytes / s / 1e9
+
+
+@jax.jit
+def enc5(x):
+    return pc5.encode_w2(x, block=BLOCK, flavor="zz16", slack=SLACK)
+
+
+@jax.jit
+def dec5(keys, data):
+    boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK)
+    return pc5.decode_w2(keys, data, boffs, block=BLOCK,
+                         flavor="zz16", slack=SLACK)
+
+
+@jax.jit
+def enc3(x):
+    return pc3.encode_int16(x, block=BLOCK)
+
+
+@jax.jit
+def dec3(keys, data):
+    boffs = pc3.block_offsets_from_keys(keys, BLOCK)
+    return pc3.decode_int16(keys, data, boffs, block=BLOCK)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    cases = {
+        "clean (sigma=12)": np.clip(
+            500 + np.cumsum(rng.normal(0, 12, (B, N)), axis=1),
+            -2000, 2000).astype(np.int16),
+        "mixed (sigma=200)": np.clip(
+            np.cumsum(rng.normal(0, 200, (B, N)), axis=1),
+            -30000, 30000).astype(np.int16),
+        "incompressible": rng.integers(-32768, 32768, (B, N)
+                                       ).astype(np.int16),
+    }
+    for name, sig in cases.items():
+        xs = [jax.device_put(jnp.asarray(r)) for r in sig]
+        k, d, t, ovf = enc5(xs[0])
+        compact = int(ovf[None][0]) == 0
+        if compact:
+            o = dec5(k, d)
+            m = int(jnp.sum(jnp.abs(o.astype(jnp.int32)
+                                    - xs[0].astype(jnp.int32)))[None][0])
+            assert m == 0, name
+            encoded = [enc5(x)[:2] for x in xs]
+            e = measure([lambda x=x: enc5(x)[1] for x in xs], N * 2)
+            dcalls = [lambda k=k, d=d: dec5(k, d) for k, d in encoded]
+            dd = measure(dcalls, N * 2)
+            path = "codec5 compact"
+        else:
+            encoded = [enc3(x)[:2] for x in xs]
+            e = measure([lambda x=x: enc3(x)[1] for x in xs], N * 2)
+            dcalls = [lambda k=k, d=d: dec3(k, d) for k, d in encoded]
+            dd = measure(dcalls, N * 2)
+            path = "codec3 general (overflow fallback)"
+        ratio = (int(t[None][0]) + N // 4) / (N * 2)
+        print(f"{name}: {path}; enc {e:.1f} dec {dd:.1f} GB/s, "
+              f"svb ratio {100 * ratio:.1f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,10 @@ and of ``vbz_plugin/perf/vbz_hdf_perf.cpp``.
 
 Times h5py dataset writes for {vbz (no zstd), vbz+zstd, gzip, lzf,
 uncompressed} × {int8, int16, int32} over block sizes from 1 MiB up, and
-reports MB/s + storage ratio as JSON lines (no matplotlib dependency).
+reports MB/s + storage ratio as JSON lines, and optionally renders the
+reference-README-style result images (``--plot DIR``: write-speed curves
+per block size + compression-ratio bars, reference ``images/
+vbz_x86_compression.png`` / ``vbz_compression_ratio.png``).
 """
 
 from __future__ import annotations
@@ -89,13 +92,61 @@ def run(block_mb_list, dtypes, vbz_levels=(0, 1)):
     return results
 
 
+def plot(results, out_dir):
+    """Render write-speed curves + ratio bars (matplotlib, Agg backend)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    dtypes = sorted({r["dtype"] for r in results})
+    cases = sorted({r["case"] for r in results})
+    for dtype in dtypes:
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for case in cases:
+            pts = sorted((r["block_mb"], r["write_mb_s"]) for r in results
+                         if r["dtype"] == dtype and r["case"] == case)
+            if pts:
+                ax.plot([x for x, _ in pts], [y for _, y in pts],
+                        marker="o", label=case)
+        ax.set_xlabel("block size (MiB)")
+        ax.set_ylabel("write speed (MB/s)")
+        ax.set_title(f"HDF5 write speed, {dtype}")
+        ax.legend()
+        fig.tight_layout()
+        path = os.path.join(out_dir, f"hdf5_write_speed_{dtype}.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        print(json.dumps({"plot": path}))
+
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        ratios = [(case, np.mean([r["ratio"] for r in results
+                                  if r["dtype"] == dtype
+                                  and r["case"] == case]))
+                  for case in cases]
+        ratios = [(c, v) for c, v in ratios if np.isfinite(v)]
+        ax.bar([c for c, _ in ratios], [v for _, v in ratios])
+        ax.set_ylabel("stored / raw")
+        ax.set_title(f"Compression ratio, {dtype}")
+        fig.tight_layout()
+        path = os.path.join(out_dir, f"hdf5_ratio_{dtype}.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        print(json.dumps({"plot": path}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--blocks", type=int, nargs="+", default=[1, 4, 16])
     p.add_argument("--dtypes", nargs="+", default=["int16"],
                    choices=["int8", "int16", "int32"])
+    p.add_argument("--plot", metavar="DIR", default=None,
+                   help="render result images into DIR")
     args = p.parse_args(argv)
-    run(args.blocks, [np.dtype(d) for d in args.dtypes])
+    results = run(args.blocks, [np.dtype(d) for d in args.dtypes])
+    if args.plot:
+        plot(results, args.plot)
     return 0
 
 
