@@ -73,7 +73,7 @@ def tpu_codec_gbps() -> float:
     #   executes FIFO), force only the LAST result, and take the slope
     #   between two values of R — RPC latency and dispatch overhead cancel.
     B, N = 4, 4 * 1024 * 1024  # 4 rows × 8 MiB of int16
-    BLOCK = 32768
+    BLOCK = 65536   # compact kernels (codec5)
     SLACK = 2048  # compact-kernel extra-bytes budget per block
     sig = make_signal(B * N).reshape(B, N)
 
@@ -81,7 +81,6 @@ def tpu_codec_gbps() -> float:
     # in-kernel MXU key pack/unpack, int8 data plane). Falls back to the
     # XLA gather-free formulation if they fail to compile on this backend.
     try:
-        from vbz_compression_tpu.ops import pallas_codec3 as pc3
         from vbz_compression_tpu.ops import pallas_codec5 as pc5
 
         # Compact variant: the routed array spans block+SLACK (not 2*block)
@@ -99,12 +98,12 @@ def tpu_codec_gbps() -> float:
 
         @jax.jit
         def enc_g(x):
-            return pc3.encode_int16(x, block=BLOCK)
+            return pc5.encode_w2_general(x, block=BLOCK)
 
         @jax.jit
         def dec_g(keys, data):
-            boffs = pc3.block_offsets_from_keys(keys, BLOCK)
-            return pc3.decode_int16(keys, data, boffs, block=BLOCK)
+            boffs = pc5.block_offsets_from_keys_flat(keys, 16384)
+            return pc5.decode_w2_general(keys, data, boffs, block=16384)
 
         x0 = jax.device_put(jnp.asarray(sig[0]))
         compact = int(enc_c(x0)[3][None][0]) == 0

@@ -370,3 +370,37 @@ def test_pallas5_zz8():
     sig = np.clip(np.cumsum(rng.normal(0, 3, 2048)),
                   -100, 100).astype(np.int8)
     _roundtrip4(sig, 512, 256, flavor="zz8", integer_size=1, mod=pc5)
+
+
+def _roundtrip5_general(sig: np.ndarray, block: int):
+    N = sig.size
+    ref = scalar.svb_compress(sig, 2, True, 0)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total = pc5.encode_w2_general(
+            jnp.asarray(sig), block=block)
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
+    assert stream == ref, "v5-general encode not bit-exact"
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    boffs = pc4.block_offsets_from_keys(jnp.asarray(keysA), block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pc5.decode_w2_general(
+            jnp.asarray(keysA), jnp.asarray(datab.astype(np.int32)),
+            boffs, block=block)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+def test_pallas5_general_incompressible():
+    # Every value takes 2 bytes: the compact slack budget can't hold it;
+    # the general split-meta variant must (no overflow concept).
+    rng = np.random.default_rng(9)
+    sig = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    _roundtrip5_general(sig, 512)
+
+
+def test_pallas5_general_signal():
+    rng = np.random.default_rng(0)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 4096)),
+                  -2000, 2000).astype(np.int16)
+    _roundtrip5_general(sig, 1024)

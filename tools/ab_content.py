@@ -20,7 +20,8 @@ from vbz_compression_tpu.ops import pallas_codec3 as pc3
 from vbz_compression_tpu.ops import pallas_codec5 as pc5
 
 B, N = 4, 4 * 1024 * 1024
-BLOCK = 32768
+BLOCK = 65536
+BLOCK_G = 16384  # codec3 W2 displacement-bits cap
 SLACK = 2048
 
 
@@ -59,13 +60,13 @@ def dec5(keys, data):
 
 @jax.jit
 def enc3(x):
-    return pc3.encode_int16(x, block=BLOCK)
+    return pc5.encode_w2_general(x, block=BLOCK)
 
 
 @jax.jit
 def dec3(keys, data):
-    boffs = pc3.block_offsets_from_keys(keys, BLOCK)
-    return pc3.decode_int16(keys, data, boffs, block=BLOCK)
+    boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK_G)
+    return pc5.decode_w2_general(keys, data, boffs, block=BLOCK_G)
 
 
 def main():
@@ -74,7 +75,10 @@ def main():
         "clean (sigma=12)": np.clip(
             500 + np.cumsum(rng.normal(0, 12, (B, N)), axis=1),
             -2000, 2000).astype(np.int16),
-        "mixed (sigma=200)": np.clip(
+        "mixed (sigma=50)": np.clip(
+            np.cumsum(rng.normal(0, 50, (B, N)), axis=1),
+            -30000, 30000).astype(np.int16),
+        "hard (sigma=200)": np.clip(
             np.cumsum(rng.normal(0, 200, (B, N)), axis=1),
             -30000, 30000).astype(np.int16),
         "incompressible": rng.integers(-32768, 32768, (B, N)
@@ -99,7 +103,7 @@ def main():
             e = measure([lambda x=x: enc3(x)[1] for x in xs], N * 2)
             dcalls = [lambda k=k, d=d: dec3(k, d) for k, d in encoded]
             dd = measure(dcalls, N * 2)
-            path = "codec3 general (overflow fallback)"
+            path = "codec5 general (overflow fallback)"
         ratio = (int(t[None][0]) + N // 4) / (N * 2)
         print(f"{name}: {path}; enc {e:.1f} dec {dd:.1f} GB/s, "
               f"svb ratio {100 * ratio:.1f}%")

@@ -108,6 +108,8 @@ _PALLAS_FLAVOR = {(2, True): "zz16", (2, False): "none16",
 # key rows (block/512) to be a multiple of the u8 sublane tile (32), and the
 # i8 data plane needs 4096-multiple DMA spans.
 _PC4_MIN_BLOCK = 16384
+_PC5_MAX_BLOCK = 65536  # larger W2 blocks amortize fixed cost (codec5 only;
+#                         codec3's displacement bits cap W2 at 16384)
 _PC4_SLACK = 2048
 
 _TRIM_GRAIN = 8192
@@ -204,10 +206,13 @@ class PallasSvbBackend(JaxSvbBackend):
         elif block >= _PC4_MIN_BLOCK:
             # v5 kernels (alignment-split routing, in-kernel MXU key pack,
             # int8 data plane) with overflow fallback to codec3 general.
+            # The wire format is block-independent, so codec5 can use larger
+            # blocks than the codec3 fallback's cap.
             from ..ops import pallas_codec5 as pc5
 
+            block5 = min(_PC5_MAX_BLOCK, N)
             keys, data_x, _, ovf = pc5.encode_w2(
-                xj, block=block, flavor=flavor, slack=_PC4_SLACK)
+                xj, block=block5, flavor=flavor, slack=_PC4_SLACK)
         else:
             keys, data_x, _ = pc3.encode_w2(xj, block=block, flavor=flavor)
         return dict(keys=keys, data=data_x, ovf=ovf, xj=xj, n=n,
@@ -215,12 +220,13 @@ class PallasSvbBackend(JaxSvbBackend):
 
     def _finish_encode(self, rec: dict) -> bytes:
         """Pull one queued encode's results and assemble the svb stream."""
-        from ..ops import pallas_codec3 as pc3
-
         keys, data_x = rec["keys"], rec["data"]
         if rec["ovf"] is not None and int(rec["ovf"]):
-            keys, data_x, _ = pc3.encode_w2(
-                rec["xj"], block=rec["block"], flavor=rec["flavor"])
+            from ..ops import pallas_codec5 as pc5
+
+            block5 = min(_PC5_MAX_BLOCK, int(rec["xj"].shape[0]))
+            keys, data_x, _ = pc5.encode_w2_general(
+                rec["xj"], block=block5, flavor=rec["flavor"])
         n = rec["n"]
         key_len = (n + 3) // 4
         keys_np = np.asarray(keys)
@@ -308,15 +314,23 @@ class PallasSvbBackend(JaxSvbBackend):
             extra_pad = np.zeros(N, np.int64)
             extra_pad[:count] = lens - 1
             per_block_extra = extra_pad.reshape(-1, block).sum(axis=1)
-            if block >= _PC4_MIN_BLOCK and \
-                    per_block_extra.max() <= _PC4_SLACK:
+            block5 = min(_PC5_MAX_BLOCK, N)
+            if block5 >= _PC4_MIN_BLOCK:
                 from ..ops import pallas_codec5 as pc5
 
+                extra5 = extra_pad.reshape(-1, block5).sum(axis=1)
                 kj = jnp.asarray(keys_pad)
-                out = pc5.decode_w2(
-                    kj, jnp.asarray(data_np.astype(np.int8)),
-                    pc5.block_offsets_from_keys_flat(kj, block),
-                    block=block, flavor=flavor, slack=_PC4_SLACK)
+                dj = jnp.asarray(data_np.astype(np.int8))
+                boffs5 = pc5.block_offsets_from_keys_flat(kj, block5)
+                if extra5.max() <= _PC4_SLACK:
+                    out = pc5.decode_w2(kj, dj, boffs5, block=block5,
+                                        flavor=flavor, slack=_PC4_SLACK)
+                else:
+                    bg = min(16384, N)   # general decode VMEM cap
+                    out = pc5.decode_w2_general(
+                        kj, dj,
+                        pc5.block_offsets_from_keys_flat(kj, bg),
+                        block=bg, flavor=flavor)
             else:
                 boffs = _pc3.block_offsets_from_keys(
                     jnp.asarray(keys_pad), block)

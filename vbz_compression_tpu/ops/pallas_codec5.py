@@ -52,7 +52,8 @@ from .pallas_codec4 import (
     block_offsets_from_keys_flat,
 )
 
-__all__ = ["encode_w2", "decode_w2", "block_offsets_from_keys_flat"]
+__all__ = ["encode_w2", "decode_w2", "encode_w2_general",
+           "decode_w2_general", "block_offsets_from_keys_flat"]
 
 AG = 4096                 # i8 DMA offset granularity (1-D i8 ref tiling)
 AG_ROWS = AG // LANES     # 32
@@ -110,7 +111,8 @@ def _ext_bytes(slack: int) -> int:
     return -(-(slack + AG) // AG) * AG
 
 
-def _encode_kernel_factory(d_bits: int, flavor: str, slack: int):
+def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
+                           split_meta: bool = False):
     def _encode_block_kernel(x_ref, keys_ref, data_ref, total_ref, state_ref,
                              carry_ref, stage_ref, sem):
         RV, _ = x_ref.shape
@@ -144,10 +146,20 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int):
 
         def _routed_bytes(v):
             E = _flat_psum_mxu(c) - c
-            chan = v | (1 << OCC_BIT) | (E << D_SHIFT)
-            chan = jnp.concatenate(
-                [chan, jnp.zeros((ext_rows, LANES), jnp.int32)], axis=0)
-            (routed,) = _route_msb(chan, d_bits, dmax=e_sum)
+            zpad = jnp.zeros((ext_rows, LANES), jnp.int32)
+            if split_meta:
+                # General variant: displacements up to the full block don't
+                # fit the packed word, so occupancy+displacement ride their
+                # own channel (bit 0 occupancy, bits [1, 1+d_bits)) and the
+                # u16 payload moves as an extra.
+                meta = jnp.concatenate([(E << 1) | 1, zpad], axis=0)
+                pay = jnp.concatenate([v, zpad], axis=0)
+                _, routed = _route_msb(meta, d_bits, extras=[pay],
+                                       dmax=e_sum, d_shift=1)
+            else:
+                chan = jnp.concatenate(
+                    [v | (1 << OCC_BIT) | (E << D_SHIFT), zpad], axis=0)
+                (routed,) = _route_msb(chan, d_bits, dmax=e_sum)
             return (routed & 0xFF) | \
                 ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
 
@@ -210,7 +222,8 @@ def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
     assert N % block == 0 and block % 512 == 0
     assert slack % LANES == 0 and 0 < slack <= block
     d_bits = max(slack.bit_length(), 1)
-    assert D_SHIFT + d_bits <= 32
+    split_meta = D_SHIFT + d_bits > 32
+    assert 1 + d_bits <= 31
     nblocks = N // block
     RV = block // LANES
     ext = slack
@@ -220,7 +233,8 @@ def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
     KR = RV // 4
 
     keys, data_x, total = pl.pallas_call(
-        _encode_kernel_factory(d_bits, flavor, slack),
+        _encode_kernel_factory(d_bits, flavor, slack,
+                               split_meta=split_meta),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -246,7 +260,33 @@ def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
     return keys.reshape(N // 4), data_x, total[0], total[1]
 
 
+def encode_w2_general(x: jax.Array, block: int = 65536,
+                      flavor: str = "zz16"):
+    """Worst-case-safe codec5 encode: slack = block (no overflow possible),
+    split-meta routing for the full-block displacement range. ~2x the
+    compact variant's per-stage cost; still the int8 data plane + in-kernel
+    MXU key pack (vs ~12x slower codec3 general)."""
+    keys, data, total, _ovf = encode_w2(x, block=block, flavor=flavor,
+                                        slack=block)
+    return keys, data, total
+
+
+def decode_w2_general(keys: jax.Array, data_expanded: jax.Array,
+                      block_offsets: jax.Array, block: int = 16384,
+                      flavor: str = "zz16"):
+    """Inverse of :func:`encode_w2_general` (any well-formed W2 stream —
+    block choices are independent between encode and decode; the wire
+    format is block-agnostic). Keep block <= 16384: the reverse-replay
+    mask list is d_bits arrays of (block+slack) live values and blows the
+    16 MB VMEM scoped limit at 65536."""
+    return decode_w2(keys, data_expanded, block_offsets, block=block,
+                     flavor=flavor, slack=block)
+
+
 def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
+    # (the reverse-replay mask channel stores displacement at bit 1 with
+    # occupancy at bit 0, so it accommodates full-block displacements —
+    # no split needed on the decode side)
     def _decode_block_kernel(keys_ref, boff_ref, data_ref, out_ref, state_ref,
                              stage_a, stage_b, sem_a, sem_b):
         RV = keys_ref.shape[0] * 4
