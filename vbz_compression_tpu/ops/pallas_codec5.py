@@ -40,8 +40,6 @@ from .pallas_codec3 import (
     _fwd_transform,
     _last_slot,
     _route_msb,
-    _route_msb_masks,
-    _reverse_replay,
 )
 from .pallas_codec4 import (
     _flat_dyn_shift_left,
@@ -102,6 +100,59 @@ def _flat_psum_mxu16(x: jax.Array) -> jax.Array:
     pass. Cross-row accumulation wraps mod 2^32 like the VPU scan."""
     lane = _lane_psum_mxu(x & 0xFF) + (_lane_psum_mxu(x >> 8) << 8)
     return _cross_row_psum(lane)
+
+
+def _route_msb_masks_packed(d: jax.Array, occupied: jax.Array, d_bits: int,
+                            dmax=None):
+    """Forward-simulate the routing and pack the per-stage (moved_in,
+    stayed) masks as BIT PAIRS into 1-2 i32 arrays instead of a list of
+    2*d_bits live full-size arrays (codec3's _route_msb_masks) — ~12x less
+    VMEM, which is what capped the general decode's block size and slowed
+    the mixed-content replay path."""
+    chan = ((d << 1) | occupied) * occupied
+    words = [jnp.zeros_like(chan) for _ in range((2 * d_bits + 31) // 32)]
+    for idx, j in enumerate(range(d_bits - 1, -1, -1)):
+        w, b = divmod(2 * idx, 32)
+
+        def _stage(args, j=j, w=w, b=b):
+            chan, *words = args
+            words = list(words)
+            rolled = _flat_shift_right(chan, 1 << j)
+            bit_rolled = ((rolled >> (1 + j)) & 1) * (rolled & 1)
+            bit_stay = ((chan >> (1 + j)) & 1) * (chan & 1)
+            stayed = (chan & 1) * (1 - bit_stay)
+            chan = jnp.where(bit_rolled == 1, rolled,
+                             jnp.where(bit_stay == 0, chan, 0))
+            words[w] = words[w] | (bit_rolled << b) | (stayed << (b + 1))
+            return (chan, *words)
+
+        if dmax is None:
+            chan, *words = _stage((chan, *words))
+        else:
+            chan, *words = jax.lax.cond(
+                dmax >= (1 << j), _stage, lambda args: args, (chan, *words))
+    return words
+
+
+def _reverse_replay_packed(x: jax.Array, words, d_bits: int, dmax=None):
+    """Pull ``x`` backwards through a routing recorded by
+    :func:`_route_msb_masks_packed`."""
+    for idx, j in zip(range(d_bits - 1, -1, -1), range(d_bits)):
+        w, b = divmod(2 * idx, 32)
+
+        def _stage(x, j=j, w=w, b=b):
+            moved_in = (words[w] >> b) & 1
+            stayed = (words[w] >> (b + 1)) & 1
+            was_source = _flat_shift_left(moved_in, 1 << j)
+            pulled = _flat_shift_left(x, 1 << j)
+            return jnp.where(stayed == 1, x,
+                             jnp.where(was_source == 1, pulled, 0))
+
+        if dmax is None:
+            x = _stage(x)
+        else:
+            x = jax.lax.cond(dmax >= (1 << j), _stage, lambda x: x, x)
+    return x
 
 
 def _ext_bytes(slack: int) -> int:
@@ -352,9 +403,9 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
             occupied = jnp.concatenate(
                 [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
             d = jnp.concatenate([E, zeros_rest], axis=0)
-            [w16] = _reverse_replay(
-                [w], _route_msb_masks(d, occupied, d_bits, dmax=e_sum),
-                dmax=e_sum)
+            w16 = _reverse_replay_packed(
+                w, _route_msb_masks_packed(d, occupied, d_bits, dmax=e_sum),
+                d_bits, dmax=e_sum)
             w16 = w16[:RV]
             return (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
 
