@@ -134,3 +134,24 @@ def test_tpu_matcher_ratio_close_to_host():
     assert dctx.decompress(tpu, max_output_size=len(data)) == data
     # bounded offsets lose some far matches; stay within 15% of host ratio
     assert len(tpu) <= int(len(host) * 1.15)
+
+
+def test_api_own_encoder_pipeline(monkeypatch):
+    """Full vbz pipeline with the from-scratch zstd encoder selected via
+    VBZ_ZSTD_ENCODER: output must decode through the standard path."""
+    from vbz_compression_tpu import CompressionOptions, api
+
+    rng = np.random.default_rng(12)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 50000)),
+                  -2000, 2000).astype(np.int16)
+    opts = CompressionOptions(True, 2, 1, 0)
+    libz = api.vbz_compress_sized(sig, opts)
+    monkeypatch.setenv("VBZ_ZSTD_ENCODER", "own")
+    own = api.vbz_compress_sized(sig, opts)
+    monkeypatch.delenv("VBZ_ZSTD_ENCODER")
+    assert own != libz  # genuinely a different encoder
+    # decodes through the standard (libzstd) decode path
+    out = api.vbz_decompress_sized(own, opts)
+    np.testing.assert_array_equal(np.frombuffer(out, np.int16), sig)
+    # stays in the same size ballpark as libzstd level 1
+    assert len(own) <= int(len(libz) * 1.2)

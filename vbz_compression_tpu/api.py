@@ -46,7 +46,23 @@ def zstd_compress_bound(source_size: int) -> int:
     return source_size + (source_size >> 8) + margin
 
 
-def zstd_compress(data: bytes, level: int) -> bytes:
+def zstd_compress(data: bytes, level: int, encoder: str | None = None) -> bytes:
+    """zstd stage. ``encoder`` (or env ``VBZ_ZSTD_ENCODER``):
+    - "libzstd" (default): the zstandard package, with the tuned level-1
+      dfast profile below;
+    - "own": the from-scratch RFC 8878 encoder (:mod:`.ops.zstd_seq` —
+      Huffman literals + LZ77 matches + FSE sequences);
+    - "own-tpu": same, with the match scan on the accelerator
+      (:mod:`.ops.zstd_match_tpu`).
+    All three emit frames any stock zstd decoder reads."""
+    import os
+
+    encoder = encoder or os.environ.get("VBZ_ZSTD_ENCODER", "libzstd")
+    if encoder in ("own", "own-tpu"):
+        from .ops import zstd_seq
+
+        return zstd_seq.compress_frame(
+            bytes(data), matcher="tpu" if encoder == "own-tpu" else "host")
     import zstandard
 
     level = max(min(int(level), zstandard.MAX_COMPRESSION_LEVEL), -131072)
