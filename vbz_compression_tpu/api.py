@@ -54,11 +54,23 @@ def zstd_compress(data: bytes, level: int, encoder: str | None = None) -> bytes:
       Huffman literals + LZ77 matches + FSE sequences);
     - "own-tpu": same, with the match scan on the accelerator
       (:mod:`.ops.zstd_match_tpu`).
-    All three emit frames any stock zstd decoder reads."""
+    All three emit frames any stock zstd decoder reads.
+
+    The from-scratch encoders are single-profile: they implement one tuned
+    strategy (roughly a level-1 work factor) and **ignore** ``level``. A
+    warning is emitted if a caller explicitly asked for a different level
+    while ``VBZ_ZSTD_ENCODER`` reroutes to them."""
     import os
 
     encoder = encoder or os.environ.get("VBZ_ZSTD_ENCODER", "libzstd")
     if encoder in ("own", "own-tpu"):
+        if int(level) > 1:
+            import warnings
+
+            warnings.warn(
+                f"zstd level {level} requested but the '{encoder}' encoder "
+                "is single-profile (~level 1); level is ignored",
+                stacklevel=2)
         from .ops import zstd_seq
 
         return zstd_seq.compress_frame(

@@ -218,10 +218,17 @@ class PallasSvbBackend(JaxSvbBackend):
         return dict(keys=keys, data=data_x, ovf=ovf, xj=xj, n=n,
                     block=block, flavor=flavor, wide=wide)
 
-    def _finish_encode(self, rec: dict) -> bytes:
-        """Pull one queued encode's results and assemble the svb stream."""
+    def _finish_encode(self, rec: dict, ovf: "int | None" = None) -> bytes:
+        """Pull one queued encode's results and assemble the svb stream.
+
+        ``ovf`` lets batch callers supply the already-pulled overflow flag
+        so the per-chunk scalar device sync is avoided (one stacked pull
+        for the whole batch instead of one RPC per chunk).
+        """
         keys, data_x = rec["keys"], rec["data"]
-        if rec["ovf"] is not None and int(rec["ovf"]):
+        if ovf is None:
+            ovf = 0 if rec["ovf"] is None else int(rec["ovf"])
+        if ovf:
             from ..ops import pallas_codec5 as pc5
 
             block5 = min(_PC5_MAX_BLOCK, int(rec["xj"].shape[0]))
@@ -264,7 +271,16 @@ class PallasSvbBackend(JaxSvbBackend):
             typed = self._typed_input(data, integer_size)
             recs.append(None if typed.size == 0 else
                         self._queue_encode(typed, integer_size, use_zigzag))
-        return [b"" if r is None else self._finish_encode(r) for r in recs]
+        # Pull every chunk's overflow flag in ONE device transfer instead of
+        # one scalar RPC per chunk (each sync costs a tunnel round trip).
+        flagged = [r for r in recs if r is not None and r["ovf"] is not None]
+        if flagged:
+            pulled = np.asarray(jnp.stack([r["ovf"] for r in flagged]))
+            for r, v in zip(flagged, pulled):
+                r["_ovf_host"] = int(v)
+        return [b"" if r is None else
+                self._finish_encode(r, ovf=r.get("_ovf_host"))
+                for r in recs]
 
     def _queue_decode(self, buf: np.ndarray, count: int, integer_size: int,
                       use_zigzag: bool):
@@ -313,7 +329,6 @@ class PallasSvbBackend(JaxSvbBackend):
             # block + slack bytes (checked host-side from the codes).
             extra_pad = np.zeros(N, np.int64)
             extra_pad[:count] = lens - 1
-            per_block_extra = extra_pad.reshape(-1, block).sum(axis=1)
             block5 = min(_PC5_MAX_BLOCK, N)
             if block5 >= _PC4_MIN_BLOCK:
                 from ..ops import pallas_codec5 as pc5
