@@ -1,17 +1,27 @@
 """Benchmark: TPU codec throughput on the int16 signal hot path.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
+Prints JSON lines (the LAST is the headline metric the driver parses):
 
-- value: combined encode+decode device throughput (GB/s of uncompressed
-  int16 signal processed per second on one chip), measured device-resident
-  (inputs live on device; only the jitted codec steps are timed).
-- vs_baseline: ratio vs the reference-equivalent single-core CPU codec
-  (our native C++ scalar implementation of the reference pipeline,
-  StreamVByte stage only, zstd level 0 — matching what the TPU stage does).
+  {"metric": "int16_signal_pipeline_encdec_throughput", ...}   # svb+zstd1
+  {"metric": "int16_signal_codec_encdec_throughput", ...}      # svb stage
+
+- value: combined (harmonic-mean) encode+decode throughput, GB/s of
+  uncompressed int16 signal per second on one chip. The svb-stage line is
+  measured device-resident (only the jitted codec steps are timed); the
+  pipeline line is host-to-host wall clock through the public batch API
+  (device svb stage + threaded host zstd), i.e. what a plugin/CLI user gets.
+- vs_baseline: ratio vs the REFERENCE's own codec compiled from
+  /root/reference/vbz at -O3 -mssse3 (the SSSE3 hot path that ships in
+  fast5, vbz/v0/vbz_streamvbyte_impl_sse3.h) and timed on this host over
+  the identical workload (native/refbench/ref_bench.cpp). The svb line
+  compares against the reference svb stage (zstd level 0); the pipeline
+  line against reference vbz_compress_sized at zstd level 1.
 
 The workload mirrors the reference perf harness (vbz/perf/vbz_perf.cpp +
-test_data_generator.h): pseudo-signal reads, int16, zig-zag, v0.
+test_data_generator.h): pseudo-signal reads, int16, zig-zag, v0. A
+mixed-content row (sigma=50 steps — exercises the extra-byte replay path)
+is reported as extra fields on the headline line so content dependence is
+captured in BENCH_r*.json, not just README prose.
 """
 
 import json
@@ -34,26 +44,36 @@ def make_signal(total_values: int, seed: int = 42) -> np.ndarray:
     return sig.astype(np.int16)
 
 
-def cpu_baseline_gbps() -> float:
-    """Single-core native codec throughput (svb stage, no zstd), GB/s."""
-    bench = os.path.join(REPO, "native", "vbz_bench")
+def make_mixed(total_values: int, seed: int = 7) -> np.ndarray:
+    """sigma=50 random walk: ~half the deltas need a second byte, so blocks
+    stay on the compact kernels but the decode replay path is exercised."""
+    rng = np.random.default_rng(seed)
+    sig = np.cumsum(rng.normal(0, 50, total_values))
+    return np.clip(sig, -30000, 30000).astype(np.int16)
+
+
+def reference_baseline() -> dict:
+    """The reference's own SSSE3 codec, best of 3 runs (resists transient
+    CPU contention; a loaded machine should not inflate the TPU/CPU ratio)."""
+    bench = os.path.join(REPO, "native", "ref_bench")
     if not os.path.exists(bench):
-        subprocess.run(["make", "-C", os.path.join(REPO, "native"), "-s"],
-                       check=True)
-    # Best of 3 runs: resist transient CPU contention (a loaded machine
-    # should not inflate the TPU/CPU ratio).
-    best = 0.0
+        subprocess.run(["make", "-C", os.path.join(REPO, "native"),
+                        "-s", "ref_bench"], check=True)
+    best = {}
     for _ in range(3):
-        out = subprocess.run([bench, "64", "0"], check=True,
+        out = subprocess.run([bench, "64"], check=True,
                              capture_output=True, text=True).stdout
         d = json.loads(out)
-        # Combined enc+dec throughput (bytes / total time).
-        enc, dec = d["encode_gb_s"], d["decode_gb_s"]
-        best = max(best, 2 * enc * dec / (enc + dec))
+        for k, v in d.items():
+            best[k] = max(best.get(k, 0.0), v) if "gb_s" in k else v
     return best
 
 
-def tpu_codec_gbps() -> float:
+def _hm(enc: float, dec: float) -> float:
+    return 2 * enc * dec / (enc + dec)
+
+
+def _jax_setup():
     import jax
 
     # Remote compiles on the axon backend take minutes; persist them.
@@ -61,6 +81,13 @@ def tpu_codec_gbps() -> float:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def tpu_codec_gbps() -> dict:
+    """Device-resident svb-stage throughput: clean-signal tier (headline)
+    + mixed-content tier, round-trip asserted on device for EVERY row."""
+    jax = _jax_setup()
     import jax.numpy as jnp
 
     from vbz_compression_tpu.ops import jax_svb
@@ -76,6 +103,7 @@ def tpu_codec_gbps() -> float:
     BLOCK = 65536   # compact kernels (codec5)
     SLACK = 2048  # compact-kernel extra-bytes budget per block
     sig = make_signal(B * N).reshape(B, N)
+    mixed = make_mixed(B * N).reshape(B, N)
 
     # Preferred path: Pallas v5 kernels (alignment-split butterfly routing,
     # in-kernel MXU key pack/unpack, int8 data plane). Falls back to the
@@ -84,7 +112,7 @@ def tpu_codec_gbps() -> float:
         from vbz_compression_tpu.ops import pallas_codec5 as pc5
 
         # Compact variant: the routed array spans block+SLACK (not 2*block)
-        # slots; overflowing blocks are flagged and the codec3 general
+        # slots; overflowing blocks are flagged and the codec5 general
         # kernel takes over (signal workloads essentially never overflow).
         @jax.jit
         def enc_c(x):
@@ -105,26 +133,35 @@ def tpu_codec_gbps() -> float:
             boffs = pc5.block_offsets_from_keys_flat(keys, 16384)
             return pc5.decode_w2_general(keys, data, boffs, block=16384)
 
-        x0 = jax.device_put(jnp.asarray(sig[0]))
-        compact = int(enc_c(x0)[3][None][0]) == 0
-        enc_p = enc_c if compact else enc_g
-        dec_p = dec_c if compact else dec_g
+        @jax.jit
+        def mismatch(x, o):
+            return jnp.sum(jnp.abs(o.astype(jnp.int32) - x.astype(jnp.int32)))
 
-        k0, d0 = enc_p(x0)[:2]
-        o0 = dec_p(k0, d0)
-        m = int(jnp.sum(jnp.abs(o0.astype(jnp.int32)
-                                - x0.astype(jnp.int32)))[None][0])
-        assert m == 0, f"pallas round-trip mismatch: {m}"
+        tiers = {}
+        for tier, rows in (("clean", sig), ("mixed", mixed)):
+            xs = [jax.device_put(jnp.asarray(row)) for row in rows]
+            compact = all(
+                int(enc_c(x)[3][None][0]) == 0 for x in xs)
+            enc_p = enc_c if compact else enc_g
+            dec_p = dec_c if compact else dec_g
 
-        xs = [jax.device_put(jnp.asarray(row)) for row in sig]
-        encoded = [enc_p(row) for row in xs]
-        enc_calls = [lambda row=row: enc_p(row)[1] for row in xs]
-        dec_calls = [lambda k=e[0], d=e[1]: dec_p(k, d) for e in encoded]
-        print(f"# path: pallas kernels ({'compact' if compact else 'general'})",
-              file=sys.stderr)
-        return _measure(enc_calls, dec_calls, N)
+            # Verify round-trip ON DEVICE for every row (scalar pulls only).
+            encoded = [enc_p(x)[:2] for x in xs]
+            for x, (k, d) in zip(xs, encoded):
+                m = int(mismatch(x, dec_p(k, d))[None][0])
+                assert m == 0, f"pallas round-trip mismatch ({tier}): {m}"
+
+            enc_calls = [lambda row=row: enc_p(row)[1] for row in xs]
+            dec_calls = [lambda k=k, d=d: dec_p(k, d)
+                         for k, d in encoded]
+            print(f"# {tier}: pallas kernels "
+                  f"({'compact' if compact else 'general'})", file=sys.stderr)
+            enc_gbps, dec_gbps = _measure(enc_calls, dec_calls, N)
+            tiers[tier] = {"enc": enc_gbps, "dec": dec_gbps,
+                           "combined": _hm(enc_gbps, dec_gbps)}
+        return tiers
     except Exception as exc:  # pragma: no cover - backend-dependent
-        print(f"# pallas path unavailable ({type(exc).__name__}); "
+        print(f"# pallas path unavailable ({type(exc).__name__}: {exc}); "
               f"falling back to XLA", file=sys.stderr)
 
     enc = jax.jit(lambda x, n: jax_svb.encode_chunk(x, n, 2, True))
@@ -152,13 +189,47 @@ def tpu_codec_gbps() -> float:
     enc_calls = [lambda row=row: enc(row, nb)[0] for row in xs]
     dec_calls = [lambda s=s, t=t: dec(s, nb, t)[0]
                  for s, t in zip(streams, totals)]
-    return _measure(enc_calls, dec_calls, N)
+    enc_gbps, dec_gbps = _measure(enc_calls, dec_calls, N)
+    return {"clean": {"enc": enc_gbps, "dec": dec_gbps,
+                      "combined": _hm(enc_gbps, dec_gbps)}}
+
+
+def pipeline_gbps() -> dict:
+    """Full-pipeline (svb + zstd level 1) wall clock through the public
+    batch API — host bytes to host bytes, auto backend (Pallas on TPU)."""
+    _jax_setup()
+    from vbz_compression_tpu import api
+    from vbz_compression_tpu.options import CompressionOptions
+
+    n_chunks, chunk_values = 8, 4 * 1024 * 1024  # 8 × 8 MiB
+    sig = make_signal(n_chunks * chunk_values)
+    chunks = list(sig.reshape(n_chunks, -1))
+    total = sig.nbytes
+    opts = CompressionOptions(perform_delta_zig_zag=True, integer_size=2,
+                              zstd_compression_level=1, vbz_version=0)
+
+    streams = api.vbz_compress_sized_batch(chunks, opts)  # warm compiles
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        streams = api.vbz_compress_sized_batch(chunks, opts)
+    enc_s = (time.perf_counter() - t0) / reps
+    outs = api.vbz_decompress_sized_batch(streams, opts)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        outs = api.vbz_decompress_sized_batch(streams, opts)
+    dec_s = (time.perf_counter() - t0) / reps
+    for c, o in zip(chunks, outs):
+        assert c.tobytes() == o, "pipeline round-trip mismatch"
+    enc_gbps, dec_gbps = total / enc_s / 1e9, total / dec_s / 1e9
+    print(f"# pipeline encode {enc_gbps:.3f} GB/s, decode {dec_gbps:.3f} "
+          f"GB/s, ratio {sum(map(len, streams)) / total:.4f}",
+          file=sys.stderr)
+    return {"enc": enc_gbps, "dec": dec_gbps,
+            "combined": _hm(enc_gbps, dec_gbps)}
 
 
 def _measure(enc_calls, dec_calls, n_values):
-    import time
-
-    import jax
     import jax.numpy as jnp
 
     def fence(arr):
@@ -195,18 +266,46 @@ def _measure(enc_calls, dec_calls, n_values):
     dec_gbps = nbytes / dec_s / 1e9
     print(f"# encode {enc_gbps:.3f} GB/s, decode {dec_gbps:.3f} GB/s",
           file=sys.stderr)
-    return 2 * enc_gbps * dec_gbps / (enc_gbps + dec_gbps)
+    return enc_gbps, dec_gbps
 
 
 def main() -> None:
-    baseline = cpu_baseline_gbps()
-    value = tpu_codec_gbps()
+    ref = reference_baseline()
+    ref_svb = _hm(ref["svb_encode_gb_s"], ref["svb_decode_gb_s"])
+    ref_pipe = _hm(ref["pipe_encode_gb_s"], ref["pipe_decode_gb_s"])
+    print(f"# reference SSSE3 baseline: svb enc {ref['svb_encode_gb_s']:.3f}"
+          f" / dec {ref['svb_decode_gb_s']:.3f} (combined {ref_svb:.3f}); "
+          f"pipeline enc {ref['pipe_encode_gb_s']:.3f} / dec "
+          f"{ref['pipe_decode_gb_s']:.3f} (combined {ref_pipe:.3f}) GB/s",
+          file=sys.stderr)
+
+    pipe = pipeline_gbps()
     print(json.dumps({
-        "metric": "int16_signal_codec_encdec_throughput",
-        "value": round(value, 4),
+        "metric": "int16_signal_pipeline_encdec_throughput",
+        "value": round(pipe["combined"], 4),
         "unit": "GB/s",
-        "vs_baseline": round(value / baseline, 3),
+        "vs_baseline": round(pipe["combined"] / ref_pipe, 3),
+        "encode_gb_s": round(pipe["enc"], 4),
+        "decode_gb_s": round(pipe["dec"], 4),
+        "baseline_gb_s": round(ref_pipe, 4),
     }))
+
+    tiers = tpu_codec_gbps()
+    clean = tiers["clean"]
+    line = {
+        "metric": "int16_signal_codec_encdec_throughput",
+        "value": round(clean["combined"], 4),
+        "unit": "GB/s",
+        "vs_baseline": round(clean["combined"] / ref_svb, 3),
+        "encode_gb_s": round(clean["enc"], 4),
+        "decode_gb_s": round(clean["dec"], 4),
+        "baseline_gb_s": round(ref_svb, 4),
+    }
+    if "mixed" in tiers:
+        line["mixed_gb_s"] = round(tiers["mixed"]["combined"], 4)
+        line["mixed_encode_gb_s"] = round(tiers["mixed"]["enc"], 4)
+        line["mixed_decode_gb_s"] = round(tiers["mixed"]["dec"], 4)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -23,11 +23,13 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <memory>
 #include <vector>
 
 #include <zstd.h>
 
 #include "vbz_native.h"
+#include "vbz_simd.h"
 
 namespace {
 
@@ -252,6 +254,17 @@ vbz_size_t svb_stage_compress(const uint8_t* src, vbz_size_t src_size,
                               const CompressionOptions* o) {
     if (src_size % o->integer_size != 0) return VBZ_INPUT_SIZE_ERROR;
     vbz_size_t count = src_size / o->integer_size;
+#if VBZ_SIMD16Z
+    // Hot path (fast5 signal): fused int16 zigzag-delta + encode, one
+    // shuffle per 8 values (vbz_simd.h). v1 int16 delegates to v0 wire
+    // format, so both versions take it.
+    if (o->integer_size == 2 && o->perform_delta_zig_zag && count != 0 &&
+        capacity >= (count + 3) / 4 && vbz_simd::usable()) {
+        uint32_t r = vbz_simd::encode_16z(src, count, dst, capacity,
+                                          (count + 3) / 4);
+        if (r != 0) return r;  // 0: capacity-tight, redo via scalar bound
+    }
+#endif
     std::vector<uint32_t> values;
     values_from_input(src, count, o->integer_size,
                       o->perform_delta_zig_zag, values);
@@ -265,6 +278,14 @@ vbz_size_t svb_stage_decompress(const uint8_t* src, vbz_size_t src_size,
                                 const CompressionOptions* o) {
     if (dst_size % o->integer_size != 0) return VBZ_DESTINATION_SIZE_ERROR;
     vbz_size_t count = dst_size / o->integer_size;
+#if VBZ_SIMD16Z
+    if (o->integer_size == 2 && o->perform_delta_zig_zag && count != 0 &&
+        src_size != 0 && vbz_simd::usable()) {
+        uint32_t r = vbz_simd::decode_16z(src, src_size, dst, count);
+        if (r == UINT32_MAX) return VBZ_STREAMVBYTE_STREAM_ERROR;
+        return dst_size;
+    }
+#endif
     std::vector<uint32_t> values(count);
     vbz_size_t r = (o->vbz_version == 1 && o->integer_size == 1)
         ? svb1_decode(src, src_size, values.data(), count)
@@ -327,7 +348,11 @@ vbz_size_t vbz_compress(const void* source, vbz_size_t source_size,
         return source_size;
     }
 
-    std::vector<uint8_t> intermediate;
+    // Uninitialized malloc, not a zeroing vector: the bound is ~4.25x the
+    // input and zero-filling it dominated the zstd stage (the svb stage
+    // writes only the compressed prefix).
+    std::unique_ptr<uint8_t[], decltype(&std::free)> intermediate(
+        nullptr, &std::free);
     const uint8_t* cur = src;
     vbz_size_t cur_size = source_size;
 
@@ -339,8 +364,10 @@ vbz_size_t vbz_compress(const void* source, vbz_size_t source_size,
         uint8_t* stage_dst = dst;
         vbz_size_t stage_cap = destination_capacity;
         if (options->zstd_compression_level != 0) {
-            intermediate.resize(bound);
-            stage_dst = intermediate.data();
+            intermediate.reset(
+                static_cast<uint8_t*>(std::malloc(bound)));
+            if (!intermediate) return VBZ_OUT_OF_MEMORY_ERROR;
+            stage_dst = intermediate.get();
             stage_cap = bound;
         } else if (bound > destination_capacity) {
             return VBZ_DESTINATION_SIZE_ERROR;
@@ -373,7 +400,8 @@ vbz_size_t vbz_decompress(const void* source, vbz_size_t source_size,
         return source_size;
     }
 
-    std::vector<uint8_t> intermediate;
+    std::unique_ptr<uint8_t[], decltype(&std::free)> intermediate(
+        nullptr, &std::free);
     const uint8_t* cur = src;
     vbz_size_t cur_size = source_size;
 
@@ -386,8 +414,10 @@ vbz_size_t vbz_decompress(const void* source, vbz_size_t source_size,
         uint8_t* zdst = dst;
         size_t zcap = destination_size;
         if (options->integer_size != 0) {
-            intermediate.resize(content);
-            zdst = intermediate.data();
+            intermediate.reset(
+                static_cast<uint8_t*>(std::malloc(content)));
+            if (!intermediate) return VBZ_OUT_OF_MEMORY_ERROR;
+            zdst = intermediate.get();
             zcap = content;
         } else if (content > destination_size) {
             return VBZ_DESTINATION_SIZE_ERROR;

@@ -13,6 +13,7 @@ layer — frame-compatible with the reference (``ZSTD_compress`` /
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -27,6 +28,73 @@ from .options import CompressionOptions
 from .ops import scalar
 
 SIZED_HEADER_BYTES = 4  # VbzSizedHeader{uint32 original_size}, vbz/vbz.cpp:52-55
+
+# ---------------------------------------------------------------------------
+# Backend auto-selection: Pallas-on-TPU -> native C++ -> NumPy oracle.
+# Every public entry point takes backend=None meaning "the fastest available"
+# (the reference has a single code path; we have four, so the default must
+# pick the right one — a Quick-start user should hit the TPU plane, not the
+# oracle). Override per-call with backend=..., or globally with VBZ_BACKEND
+# in {auto, pallas, native, jax, scalar}.
+# ---------------------------------------------------------------------------
+
+_AUTO_BACKEND = None
+
+
+def default_backend():
+    """Resolve (once) the backend used when a call passes ``backend=None``.
+
+    Order: the Pallas TPU backend when an accelerator is visible (it falls
+    back internally to the native codec for paths the kernels don't cover),
+    else the native C++ codec, else the NumPy oracle. ``VBZ_BACKEND`` forces
+    a specific backend by name."""
+    global _AUTO_BACKEND
+    forced = os.environ.get("VBZ_BACKEND", "auto").lower()
+    if forced not in ("", "auto"):
+        return _backend_by_name(forced)
+    if _AUTO_BACKEND is None:
+        _AUTO_BACKEND = _resolve_auto_backend()
+    return _AUTO_BACKEND
+
+
+def _backend_by_name(name: str):
+    if name == "scalar":
+        return scalar
+    if name == "native":
+        from . import native_backend
+
+        native_backend.lib()
+        return native_backend.NativeSvbBackend()
+    if name == "jax":
+        from .models.codec import JaxSvbBackend
+
+        return JaxSvbBackend()
+    if name == "pallas":
+        from .models.codec import PallasSvbBackend
+
+        return PallasSvbBackend()
+    raise ValueError(f"unknown VBZ_BACKEND {name!r} "
+                     "(want auto|pallas|native|jax|scalar)")
+
+
+def _resolve_auto_backend():
+    try:
+        import jax
+
+        if jax.devices()[0].platform in ("tpu", "gpu"):
+            from .models.codec import PallasSvbBackend
+
+            return PallasSvbBackend()
+    except Exception:
+        pass
+    try:
+        return _backend_by_name("native")
+    except Exception:
+        return scalar
+
+
+def _resolved(backend):
+    return default_backend() if backend is None else backend
 
 
 def _as_bytes(data) -> bytes:
@@ -140,8 +208,9 @@ def vbz_max_compressed_size(source_size: int, options: CompressionOptions) -> in
     return max_size + SIZED_HEADER_BYTES
 
 
-def vbz_compress(data, options: CompressionOptions, backend=scalar) -> bytes:
+def vbz_compress(data, options: CompressionOptions, backend=None) -> bytes:
     """Compress without framing (``vbz/vbz.cpp:116-208``)."""
+    backend = _resolved(backend)
     options.validate()
     raw = _as_bytes(data)
     if options.zstd_compression_level == 0 and options.integer_size == 0:
@@ -160,9 +229,10 @@ def vbz_compress(data, options: CompressionOptions, backend=scalar) -> bytes:
 
 
 def vbz_decompress(stream, destination_size: int, options: CompressionOptions,
-                   backend=scalar) -> bytes:
+                   backend=None) -> bytes:
     """Decompress a stream into exactly ``destination_size`` bytes
     (``vbz/vbz.cpp:210-300``)."""
+    backend = _resolved(backend)
     options.validate()
     raw = _as_bytes(stream)
     if options.zstd_compression_level == 0 and options.integer_size == 0:
@@ -188,7 +258,7 @@ def vbz_decompress(stream, destination_size: int, options: CompressionOptions,
     return np.ascontiguousarray(out).tobytes()
 
 
-def vbz_compress_sized(data, options: CompressionOptions, backend=scalar) -> bytes:
+def vbz_compress_sized(data, options: CompressionOptions, backend=None) -> bytes:
     """Compress with the 4-byte little-endian original-size header
     (``vbz/vbz.cpp:302-330``)."""
     raw = _as_bytes(data)
@@ -206,7 +276,7 @@ def vbz_decompressed_size(stream, options: CompressionOptions) -> int:
 
 
 def vbz_decompress_sized(stream, options: CompressionOptions,
-                         backend=scalar) -> bytes:
+                         backend=None) -> bytes:
     """Inverse of :func:`vbz_compress_sized` (``vbz/vbz.cpp:332-367``)."""
     options.validate()
     raw = _as_bytes(stream)
@@ -223,9 +293,10 @@ def vbz_decompress_sized(stream, options: CompressionOptions,
 
 
 def vbz_compress_sized_batch(chunks, options: CompressionOptions,
-                             backend=scalar) -> list:
+                             backend=None) -> list:
     """Sized-compress many chunks; the device pipeline overlaps chunk
     encodes with host pulls when the backend supports batching."""
+    backend = _resolved(backend)
     options.validate()
     raws = [_as_bytes(c) for c in chunks]
     headers = [struct.pack("<I", len(r)) for r in raws]
@@ -244,26 +315,47 @@ def vbz_compress_sized_batch(chunks, options: CompressionOptions,
         current = [x if isinstance(x, (bytes, bytearray)) else bytes(x)
                    for x in current]
     if options.zstd_compression_level != 0:
-        current = [zstd_compress(x, options.zstd_compression_level)
-                   for x in current]
+        current = _map_zstd(
+            lambda x: zstd_compress(x, options.zstd_compression_level),
+            current)
     return [h + bytes(x) for h, x in zip(headers, current)]
 
 
+def _map_zstd(fn, items: list) -> list:
+    """Run the host zstd stage across chunks on a thread pool.
+
+    libzstd releases the GIL, so the entropy stage scales with cores while
+    the device svb stage streams results — unlike the reference, whose C API
+    is one-call-per-chunk single-threaded (``vbz/vbz.cpp:116-208``); its
+    callers (the HDF5 filter) serialize chunks. Falls back to a plain loop
+    for single chunks or single-core hosts."""
+    if len(items) <= 1 or (os.cpu_count() or 1) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+            max_workers=min(len(items), os.cpu_count())) as pool:
+        return list(pool.map(fn, items))
+
+
 def vbz_decompress_sized_batch(streams, options: CompressionOptions,
-                               backend=scalar) -> list:
+                               backend=None) -> list:
     """Inverse of :func:`vbz_compress_sized_batch`; returns a list of
     ``bytes`` (each chunk's original buffer)."""
+    backend = _resolved(backend)
     options.validate()
     raws = [_as_bytes(s) for s in streams]
     sizes = [vbz_decompressed_size(r, options) for r in raws]
     bodies = [r[SIZED_HEADER_BYTES:] for r in raws]
     if options.zstd_compression_level != 0:
-        contents = []
-        for body, dst in zip(bodies, sizes):
-            content_size = zstd_frame_content_size(body)
-            if options.integer_size == 0 and content_size > dst:
-                raise VbzError(VBZ_DESTINATION_SIZE_ERROR)
-            contents.append(zstd_decompress(body, content_size))
+        content_sizes = [zstd_frame_content_size(b) for b in bodies]
+        if options.integer_size == 0:
+            for content_size, dst in zip(content_sizes, sizes):
+                if content_size > dst:
+                    raise VbzError(VBZ_DESTINATION_SIZE_ERROR)
+        contents = _map_zstd(
+            lambda bc: zstd_decompress(bc[0], bc[1]),
+            list(zip(bodies, content_sizes)))
     else:
         contents = bodies
     if options.integer_size == 0:
@@ -296,7 +388,7 @@ def vbz_decompress_sized_batch(streams, options: CompressionOptions,
 
 
 def compress(data: np.ndarray, options: CompressionOptions | None = None,
-             backend=scalar) -> np.ndarray:
+             backend=None) -> np.ndarray:
     """Compress a numpy array to a sized stream; options inferred from dtype
     when omitted (signed → zig-zag, itemsize → integer width)."""
     if options is None:
@@ -307,7 +399,7 @@ def compress(data: np.ndarray, options: CompressionOptions | None = None,
 
 
 def decompress(data, dtype, options: CompressionOptions | None = None,
-               backend=scalar) -> np.ndarray:
+               backend=None) -> np.ndarray:
     """Decompress a sized stream back to a numpy array of ``dtype``."""
     dt = np.dtype(dtype)
     if options is None:

@@ -155,6 +155,22 @@ class PallasSvbBackend(JaxSvbBackend):
     def __init__(self, device=None):
         super().__init__(device)
         self._on_tpu = None
+        self._cpu = None
+
+    def _cpu_fallback(self):
+        """Native C++ codec for paths the TPU kernels don't cover (no TPU
+        present, or v1 int8 nibble streams — see ROADMAP "v1 nibble" for why
+        that corner is host-side). The XLA formulation is slower than one
+        CPU core, so it is only used when the native lib isn't built."""
+        if self._cpu is None:
+            try:
+                from .. import native_backend as nb
+
+                nb.lib()  # force the .so load now, not at first call
+                self._cpu = nb.NativeSvbBackend()
+            except Exception:
+                self._cpu = False
+        return self._cpu if self._cpu else None
 
     def _pallas_ok(self) -> bool:
         if self._on_tpu is None:
@@ -250,6 +266,10 @@ class PallasSvbBackend(JaxSvbBackend):
     def svb_compress(self, data, integer_size: int, use_zigzag: bool,
                      version: int) -> bytes:
         if not self._pallas_ok() or (version == 1 and integer_size == 1):
+            cpu = self._cpu_fallback()
+            if cpu is not None:
+                return cpu.svb_compress(data, integer_size, use_zigzag,
+                                        version)
             return super().svb_compress(data, integer_size, use_zigzag,
                                         version)
         typed = self._typed_input(data, integer_size)
@@ -265,7 +285,7 @@ class PallasSvbBackend(JaxSvbBackend):
         (BASELINE config: "bulk multi-read batch ... on one host")."""
         if not self._pallas_ok() or (version == 1 and integer_size == 1):
             return [self.svb_compress(a, integer_size, use_zigzag, version)
-                    for a in arrays]
+                    for a in arrays]  # svb_compress resolves the CPU path
         recs = []
         for data in arrays:
             typed = self._typed_input(data, integer_size)
@@ -371,6 +391,10 @@ class PallasSvbBackend(JaxSvbBackend):
     def svb_decompress(self, stream, count: int, integer_size: int,
                        use_zigzag: bool, version: int) -> np.ndarray:
         if not self._pallas_ok() or (version == 1 and integer_size == 1):
+            cpu = self._cpu_fallback()
+            if cpu is not None:
+                return cpu.svb_decompress(stream, count, integer_size,
+                                          use_zigzag, version)
             return super().svb_decompress(stream, count, integer_size,
                                           use_zigzag, version)
         buf = self._as_u8(stream)
@@ -385,7 +409,7 @@ class PallasSvbBackend(JaxSvbBackend):
         result (mirror of :meth:`svb_compress_batch`)."""
         if not self._pallas_ok() or (version == 1 and integer_size == 1):
             return [self.svb_decompress(s, c, integer_size, use_zigzag,
-                                        version)
+                                        version)  # resolves the CPU path
                     for s, c in zip(streams, counts)]
         outs = []
         for stream, count in zip(streams, counts):
