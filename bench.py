@@ -144,8 +144,8 @@ def tpu_codec_gbps() -> dict:
 
         @jax.jit
         def dec_g(keys, data):
-            boffs = pc5.block_offsets_from_keys_flat(keys, 16384)
-            return pc5.decode_w2_general(keys, data, boffs, block=16384)
+            boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK)
+            return pc5.decode_w2_general(keys, data, boffs, block=BLOCK)
 
         @jax.jit
         def mismatch(x, o):

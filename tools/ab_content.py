@@ -21,7 +21,7 @@ from vbz_compression_tpu.ops import pallas_codec5 as pc5
 
 B, N = 4, 4 * 1024 * 1024
 BLOCK = 65536
-BLOCK_G = 16384  # codec3 W2 displacement-bits cap
+BLOCK_G = 65536  # mask-free fused replay lifted the old 16384 VMEM cap
 SLACK = 2048
 
 
@@ -99,6 +99,11 @@ def main():
             dd = measure(dcalls, N * 2)
             path = "codec5 compact"
         else:
+            k3, d3, _ = enc3(xs[0])
+            o = dec3(k3, d3)
+            m = int(jnp.sum(jnp.abs(o.astype(jnp.int32)
+                                    - xs[0].astype(jnp.int32)))[None][0])
+            assert m == 0, name
             encoded = [enc3(x)[:2] for x in xs]
             e = measure([lambda x=x: enc3(x)[1] for x in xs], N * 2)
             dcalls = [lambda k=k, d=d: dec3(k, d) for k, d in encoded]

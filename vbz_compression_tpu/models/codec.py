@@ -361,7 +361,7 @@ class PallasSvbBackend(JaxSvbBackend):
                     out = pc5.decode_w2(kj, dj, boffs5, block=block5,
                                         flavor=flavor, slack=_PC4_SLACK)
                 else:
-                    bg = min(16384, N)   # general decode VMEM cap
+                    bg = min(_PC5_MAX_BLOCK, N)
                     out = pc5.decode_w2_general(
                         kj, dj,
                         pc5.block_offsets_from_keys_flat(kj, bg),

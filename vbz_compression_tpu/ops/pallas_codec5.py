@@ -102,57 +102,66 @@ def _flat_psum_mxu16(x: jax.Array) -> jax.Array:
     return _cross_row_psum(lane)
 
 
-def _route_msb_masks_packed(d: jax.Array, occupied: jax.Array, d_bits: int,
-                            dmax=None):
-    """Forward-simulate the routing and pack the per-stage (moved_in,
-    stayed) masks as BIT PAIRS into 1-2 i32 arrays instead of a list of
-    2*d_bits live full-size arrays (codec3's _route_msb_masks) — ~12x less
-    VMEM, which is what capped the general decode's block size and slowed
-    the mixed-content replay path."""
-    chan = ((d << 1) | occupied) * occupied
-    words = [jnp.zeros_like(chan) for _ in range((2 * d_bits + 31) // 32)]
-    for idx, j in enumerate(range(d_bits - 1, -1, -1)):
-        w, b = divmod(2 * idx, 32)
-
-        def _stage(args, j=j, w=w, b=b):
-            chan, *words = args
-            words = list(words)
+def _route_fwd_disp(chan: jax.Array, d_bits: int, dmax=None) -> jax.Array:
+    """MSB-first monotone push of a displacement-only channel: occupancy at
+    bit 0, displacement at bits [1, 1+d_bits). Empty slots are all-zero.
+    This is `_route_msb` minus payload — the decode's forward pass only
+    needs to learn WHERE each value's token lands in the stream, so routing
+    the displacement field itself replaces codec3/4's mask-recording
+    simulation (no mask extraction, packing, or extra live arrays)."""
+    for j in range(d_bits - 1, -1, -1):
+        def _stage(chan, j=j):
             rolled = _flat_shift_right(chan, 1 << j)
-            bit_rolled = ((rolled >> (1 + j)) & 1) * (rolled & 1)
-            bit_stay = ((chan >> (1 + j)) & 1) * (chan & 1)
-            stayed = (chan & 1) * (1 - bit_stay)
-            chan = jnp.where(bit_rolled == 1, rolled,
+            bit_rolled = (rolled >> (1 + j)) & 1
+            bit_stay = (chan >> (1 + j)) & 1
+            return jnp.where(bit_rolled == 1, rolled,
                              jnp.where(bit_stay == 0, chan, 0))
-            words[w] = words[w] | (bit_rolled << b) | (stayed << (b + 1))
-            return (chan, *words)
 
         if dmax is None:
-            chan, *words = _stage((chan, *words))
+            chan = _stage(chan)
         else:
-            chan, *words = jax.lax.cond(
-                dmax >= (1 << j), _stage, lambda args: args, (chan, *words))
-    return words
+            chan = jax.lax.cond(dmax >= (1 << j), _stage, lambda c: c, chan)
+    return chan
 
 
-def _reverse_replay_packed(x: jax.Array, words, d_bits: int, dmax=None):
-    """Pull ``x`` backwards through a routing recorded by
-    :func:`_route_msb_masks_packed`."""
-    for idx, j in zip(range(d_bits - 1, -1, -1), range(d_bits)):
-        w, b = divmod(2 * idx, 32)
+def _reverse_pull_fused(chan: jax.Array, d_bits: int, dmax=None,
+                        extras=()):
+    """Mask-free reverse replay: undo the MSB-first push LSB-first, with
+    each token CARRYING its own displacement (bits [1, 1+d_bits)) so no
+    recorded masks are needed. In the forward network a token with bit j
+    set ALWAYS moves at stage j (monotone displacements make the push
+    collision-free), so the exact inverse is: at undo stage j, a slot takes
+    the token pulled from ``p + 2^j`` iff that token's bit j is set, keeps
+    its own iff its bit j is clear, and empties otherwise. One roll and
+    ~5 VPU ops per stage on a single channel — versus the recorded-mask
+    replay's forward sim (roll + mask extract/pack) plus two rolls per
+    reverse stage — and no mask arrays, which is what capped the general
+    decode's block size at 16384.
 
-        def _stage(x, j=j, w=w, b=b):
-            moved_in = (words[w] >> b) & 1
-            stayed = (words[w] >> (b + 1)) & 1
-            was_source = _flat_shift_left(moved_in, 1 << j)
-            pulled = _flat_shift_left(x, 1 << j)
-            return jnp.where(stayed == 1, x,
-                             jnp.where(was_source == 1, pulled, 0))
+    ``extras`` are payload-only channels pulled with the same decisions
+    (used when payload + displacement exceed 32 bits)."""
+    extras = list(extras)
+    for j in range(d_bits):
+        def _stage(args, j=j):
+            chan, *extras = args
+            pulled = _flat_shift_left(chan, 1 << j)
+            bit_pulled = (pulled >> (1 + j)) & 1
+            bit_stay = (chan >> (1 + j)) & 1
+            out = [jnp.where(bit_pulled == 1, pulled,
+                             jnp.where(bit_stay == 0, chan, 0))]
+            for e in extras:
+                ep = _flat_shift_left(e, 1 << j)
+                out.append(jnp.where(bit_pulled == 1, ep,
+                                     jnp.where(bit_stay == 0, e, 0)))
+            return tuple(out)
 
         if dmax is None:
-            x = _stage(x)
+            chan, *extras = _stage((chan, *extras))
         else:
-            x = jax.lax.cond(dmax >= (1 << j), _stage, lambda x: x, x)
-    return x
+            chan, *extras = jax.lax.cond(
+                dmax >= (1 << j), _stage, lambda args: args,
+                (chan, *extras))
+    return (chan, *extras)
 
 
 def _ext_bytes(slack: int) -> int:
@@ -323,21 +332,22 @@ def encode_w2_general(x: jax.Array, block: int = 65536,
 
 
 def decode_w2_general(keys: jax.Array, data_expanded: jax.Array,
-                      block_offsets: jax.Array, block: int = 16384,
+                      block_offsets: jax.Array, block: int = 65536,
                       flavor: str = "zz16"):
     """Inverse of :func:`encode_w2_general` (any well-formed W2 stream —
     block choices are independent between encode and decode; the wire
-    format is block-agnostic). Keep block <= 16384: the reverse-replay
-    mask list is d_bits arrays of (block+slack) live values and blows the
-    16 MB VMEM scoped limit at 65536."""
+    format is block-agnostic). The mask-free fused replay carries the
+    displacement with each token instead of recording per-stage masks, so
+    the VMEM pressure that used to cap this at block 16384 is gone —
+    64K blocks (which decode ~2x faster) compile and run."""
     return decode_w2(keys, data_expanded, block_offsets, block=block,
                      flavor=flavor, slack=block)
 
 
 def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
-    # (the reverse-replay mask channel stores displacement at bit 1 with
-    # occupancy at bit 0, so it accommodates full-block displacements —
-    # no split needed on the decode side)
+    # Payload (16-bit w) and displacement share one i32 token when
+    # 1 + d_bits + 16 <= 32 (slack <= 16384); the general variant
+    # (slack = block) pulls w as a separate extras channel.
     def _decode_block_kernel(keys_ref, boff_ref, data_ref, out_ref, state_ref,
                              stage_a, stage_b, sem_a, sem_b):
         RV = keys_ref.shape[0] * 4
@@ -400,12 +410,19 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
             w = fetched | ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
             E = _flat_psum_mxu(c) - c
             zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
-            occupied = jnp.concatenate(
-                [jnp.ones((RV, LANES), jnp.int32), zeros_rest], axis=0)
-            d = jnp.concatenate([E, zeros_rest], axis=0)
-            w16 = _reverse_replay_packed(
-                w, _route_msb_masks_packed(d, occupied, d_bits, dmax=e_sum),
-                d_bits, dmax=e_sum)
+            chanE = jnp.concatenate([(E << 1) | 1, zeros_rest], axis=0)
+            # Forward: land each value's (E, occ) token at its stream slot.
+            chanE = _route_fwd_disp(chanE, d_bits, dmax=e_sum)
+            # Attach the payload — w is ALREADY stream-indexed (it is the
+            # fetched data); hole slots get w with occ=0, which the pull
+            # stages never select (their displacement bits read as zero).
+            if 1 + d_bits + 16 <= 32:
+                chan = chanE | (w << (1 + d_bits))
+                (chan,) = _reverse_pull_fused(chan, d_bits, dmax=e_sum)
+                w16 = (chan >> (1 + d_bits)) & 0xFFFF
+            else:
+                _, w16 = _reverse_pull_fused(chanE, d_bits, dmax=e_sum,
+                                             extras=[w])
             w16 = w16[:RV]
             return (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
 
