@@ -208,7 +208,7 @@ def tpu_codec_gbps() -> dict:
                       "combined": _hm(enc_gbps, dec_gbps)}}
 
 
-def pipeline_gbps() -> dict:
+def pipeline_gbps(encoder: str | None = None, reps: int = 3) -> dict:
     """Full-pipeline (svb + zstd level 1) wall clock through the public
     batch API — host bytes to host bytes, native backend + threaded zstd.
 
@@ -216,7 +216,11 @@ def pipeline_gbps() -> dict:
     used here: on the axon tunnel every per-chunk pull costs a ~0.1-0.35 s
     RPC (measured end-to-end 0.02 GB/s — tools/ab_pipeline.py), which is a
     property of this environment's link, not of the codec; the
-    device-resident svb line below is the TPU number."""
+    device-resident svb line below is the TPU number.
+
+    ``encoder`` selects the zstd stage ("own-tpu" = from-scratch RFC 8878
+    encoder with the TPU match scan) via the VBZ_ZSTD_ENCODER env var the
+    batch API's threaded zstd stage reads."""
     from vbz_compression_tpu import api, native_backend
     from vbz_compression_tpu.options import CompressionOptions
 
@@ -229,25 +233,37 @@ def pipeline_gbps() -> dict:
     opts = CompressionOptions(perform_delta_zig_zag=True, integer_size=2,
                               zstd_compression_level=1, vbz_version=0)
 
-    streams = api.vbz_compress_sized_batch(chunks, opts, backend=backend)
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    prev_env = os.environ.get("VBZ_ZSTD_ENCODER")
+    if encoder is not None:
+        os.environ["VBZ_ZSTD_ENCODER"] = encoder
+    try:
         streams = api.vbz_compress_sized_batch(chunks, opts, backend=backend)
-    enc_s = (time.perf_counter() - t0) / reps
-    outs = api.vbz_decompress_sized_batch(streams, opts, backend=backend)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            streams = api.vbz_compress_sized_batch(chunks, opts,
+                                                   backend=backend)
+        enc_s = (time.perf_counter() - t0) / reps
         outs = api.vbz_decompress_sized_batch(streams, opts, backend=backend)
-    dec_s = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            outs = api.vbz_decompress_sized_batch(streams, opts,
+                                                  backend=backend)
+        dec_s = (time.perf_counter() - t0) / reps
+    finally:
+        if encoder is not None:
+            if prev_env is None:
+                os.environ.pop("VBZ_ZSTD_ENCODER", None)
+            else:
+                os.environ["VBZ_ZSTD_ENCODER"] = prev_env
     for c, o in zip(chunks, outs):
         assert c.tobytes() == o, "pipeline round-trip mismatch"
     enc_gbps, dec_gbps = total / enc_s / 1e9, total / dec_s / 1e9
-    print(f"# pipeline encode {enc_gbps:.3f} GB/s, decode {dec_gbps:.3f} "
-          f"GB/s, ratio {sum(map(len, streams)) / total:.4f}",
+    nout = sum(map(len, streams))
+    print(f"# pipeline[{encoder or 'libzstd'}] encode {enc_gbps:.3f} GB/s, "
+          f"decode {dec_gbps:.3f} GB/s, ratio {nout / total:.4f}",
           file=sys.stderr)
     return {"enc": enc_gbps, "dec": dec_gbps,
-            "combined": _hm(enc_gbps, dec_gbps)}
+            "combined": _hm(enc_gbps, dec_gbps), "bytes": nout}
 
 
 def _measure(enc_calls, dec_calls, n_values):
@@ -310,6 +326,24 @@ def main() -> None:
         "decode_gb_s": round(pipe["dec"], 4),
         "baseline_gb_s": round(ref_pipe, 4),
     }))
+
+    # From-scratch entropy coder, end to end (VERDICT r2 #4): the RFC 8878
+    # encoder with the TPU match scan replacing libzstd in the same
+    # pipeline. One rep — the measured negative (see ROADMAP "entropy
+    # stage") is two orders of magnitude, not a timing-noise call.
+    try:
+        own = pipeline_gbps(encoder="own-tpu", reps=1)
+        print(json.dumps({
+            "metric": "int16_signal_pipeline_own_encoder",
+            "value": round(own["combined"], 4),
+            "unit": "GB/s",
+            "vs_baseline": round(own["combined"] / ref_pipe, 3),
+            "encode_gb_s": round(own["enc"], 4),
+            "decode_gb_s": round(own["dec"], 4),
+            "size_vs_libzstd": round(own["bytes"] / pipe["bytes"], 4),
+        }))
+    except Exception as exc:  # pragma: no cover - keep the headline alive
+        print(f"# own-encoder line failed: {exc}", file=sys.stderr)
 
     tiers = tpu_codec_gbps()
     clean = tiers["clean"]

@@ -56,14 +56,18 @@ def iter_vbz_signal_chunks(path) -> Iterator[tuple[str, CompressionOptions, byte
     vbz-compressed signal in a fast5 file."""
     import h5py
 
+    # Materialize before yielding: a generator holding an open File raises
+    # from h5py teardown when a partially-consumed iterator is GC'd at
+    # interpreter shutdown (the with-exit runs after h5py's globals clear).
+    items = []
     with h5py.File(path, "r") as f:
         for name, dset in iter_signal_datasets(f):
             opts = dataset_vbz_options(dset)
             if opts is None:
                 continue
-            chunks = read_raw_chunks(dset)
-            for _off, data in chunks:
-                yield name, opts, data, dset.shape[0]
+            for _off, data in read_raw_chunks(dset):
+                items.append((name, opts, data, dset.shape[0]))
+    yield from items
 
 
 def read_gzip_signals(path) -> dict[str, np.ndarray]:
