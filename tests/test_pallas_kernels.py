@@ -404,3 +404,16 @@ def test_pallas5_general_signal():
     sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 4096)),
                   -2000, 2000).astype(np.int16)
     _roundtrip5_general(sig, 1024)
+
+
+def test_pallas5_split_replay_channel():
+    # The two-channel (extras) reverse pull only triggers naturally at
+    # slack > 16384 — far too slow for interpret mode — so force it via
+    # the module hook and round-trip the incompressible case.
+    rng = np.random.default_rng(11)
+    sig = rng.integers(-32768, 32768, 2048).astype(np.int16)
+    pc5._FORCE_SPLIT_REPLAY = True
+    try:
+        _roundtrip5_general(sig, 512)
+    finally:
+        pc5._FORCE_SPLIT_REPLAY = False

@@ -56,6 +56,11 @@ __all__ = ["encode_w2", "decode_w2", "encode_w2_general",
 AG = 4096                 # i8 DMA offset granularity (1-D i8 ref tiling)
 AG_ROWS = AG // LANES     # 32
 
+# Test hook: force the decode's two-channel (extras) replay even when the
+# token would fit one i32. The split path only triggers naturally at
+# slack > 16384 (d_bits > 15) — sizes far too slow for interpret-mode CI.
+_FORCE_SPLIT_REPLAY = False
+
 
 def _lane_psum_mxu(x: jax.Array) -> jax.Array:
     """Within-row inclusive prefix sum of [R,128] via one bf16 MXU matmul
@@ -416,7 +421,7 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
             # Attach the payload — w is ALREADY stream-indexed (it is the
             # fetched data); hole slots get w with occ=0, which the pull
             # stages never select (their displacement bits read as zero).
-            if 1 + d_bits + 16 <= 32:
+            if 1 + d_bits + 16 <= 32 and not _FORCE_SPLIT_REPLAY:
                 chan = chanE | (w << (1 + d_bits))
                 (chan,) = _reverse_pull_fused(chan, d_bits, dmax=e_sum)
                 w16 = (chan >> (1 + d_bits)) & 0xFFFF
