@@ -31,6 +31,30 @@ echo "wrote $DIST/vbz-hdf-plugin-tpu_${VERSION}.tgz"
 if command -v dpkg-deb >/dev/null 2>&1; then
     ARCH=$(dpkg --print-architecture 2>/dev/null || echo amd64)
     mkdir -p "$STAGE/root/DEBIAN"
+    # Postinstall analog of the reference's macOS productbuild script
+    # (postinstall.sh.in: symlink the plugin into HDF5_PLUGIN_PATH,
+    # hdf_plugin_packaging.cmake:19-48): link the plugin into libhdf5's
+    # default plugin search dir when one exists outside our install root.
+    cat > "$STAGE/root/DEBIAN/postinst" <<'POST'
+#!/bin/sh
+set -e
+SRC=/usr/local/hdf5/lib/plugin/libvbz_hdf_plugin.so
+for d in /usr/lib/x86_64-linux-gnu/hdf5/plugins /usr/lib/hdf5/plugin; do
+    if [ -d "$d" ] && [ ! -e "$d/libvbz_hdf_plugin.so" ]; then
+        ln -s "$SRC" "$d/libvbz_hdf_plugin.so"
+    fi
+done
+exit 0
+POST
+    chmod 0755 "$STAGE/root/DEBIAN/postinst"
+    cat > "$STAGE/root/DEBIAN/prerm" <<'POST'
+#!/bin/sh
+for d in /usr/lib/x86_64-linux-gnu/hdf5/plugins /usr/lib/hdf5/plugin; do
+    [ -L "$d/libvbz_hdf_plugin.so" ] && rm -f "$d/libvbz_hdf_plugin.so"
+done
+exit 0
+POST
+    chmod 0755 "$STAGE/root/DEBIAN/prerm"
     cat > "$STAGE/root/DEBIAN/control" <<CTRL
 Package: vbz-hdf-plugin-tpu
 Version: $VERSION
