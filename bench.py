@@ -327,12 +327,14 @@ def main() -> None:
         "baseline_gb_s": round(ref_pipe, 4),
     }))
 
-    # From-scratch entropy coder, end to end (VERDICT r2 #4): the RFC 8878
-    # encoder with the TPU match scan replacing libzstd in the same
-    # pipeline. One rep — the measured negative (see ROADMAP "entropy
+    # From-scratch entropy coder, end to end: the RFC 8878 encoder
+    # replacing libzstd in the same pipeline. Host matcher — the TPU match
+    # scan (own-tpu) produces the same frames but pulls a 4-byte-per-byte
+    # match map through the 0.1-0.35 s/RPC tunnel, an environment cost,
+    # not a codec one. One rep — the measured negative (ROADMAP "Entropy
     # stage") is two orders of magnitude, not a timing-noise call.
     try:
-        own = pipeline_gbps(encoder="own-tpu", reps=1)
+        own = pipeline_gbps(encoder="own", reps=1)
         print(json.dumps({
             "metric": "int16_signal_pipeline_own_encoder",
             "value": round(own["combined"], 4),
