@@ -406,6 +406,48 @@ def test_pallas5_general_signal():
     _roundtrip5_general(sig, 1024)
 
 
+def test_pallas5_rows_batch_roundtrip():
+    """Batched-grid kernels: one pallas_call over [B, N], per-row state
+    resets at row boundaries, each row's stream bit-exact vs the oracle."""
+    rng = np.random.default_rng(3)
+    B, N, block, slack = 3, 2048, 512, 256
+    rows = np.stack([
+        np.clip(500 + np.cumsum(rng.normal(0, 12, N)), -2000,
+                2000).astype(np.int16),
+        np.cumsum(rng.integers(-40, 40, N)).astype(np.int16),
+        np.full(N, -7, np.int16),
+    ])
+    assert rows.shape == (B, N)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, lens, ovf = pc5.encode_w2_rows(
+            jnp.asarray(rows), block=block, flavor="zz16", slack=slack)
+    assert np.all(np.asarray(ovf) == 0)
+    for b in range(B):
+        ref = scalar.svb_compress(rows[b], 2, True, 0)
+        stream = np.asarray(keys[b]).tobytes() + \
+            np.asarray(data[b]).astype(np.uint8).tobytes()[: int(lens[b])]
+        assert stream == ref, f"row {b} encode not bit-exact"
+    with pltpu.force_tpu_interpret_mode():
+        out = pc5.decode_w2_rows(keys, data, block=block,
+                                 flavor="zz16", slack=slack)
+    np.testing.assert_array_equal(np.asarray(out), rows)
+
+
+def test_pallas5_rows_overflow_flags_per_row():
+    # Row 1 overflows the compact slack; row 0 does not — flags are
+    # per-row, not batch-global.
+    rng = np.random.default_rng(5)
+    N = 2048
+    ok = np.clip(500 + np.cumsum(rng.normal(0, 12, N)), -2000,
+                 2000).astype(np.int16)
+    bad = (np.arange(N, dtype=np.int32) * 200).astype(np.int16)
+    with pltpu.force_tpu_interpret_mode():
+        _, _, _, ovf = pc5.encode_w2_rows(
+            jnp.asarray(np.stack([ok, bad])), block=512, flavor="zz16",
+            slack=128)
+    assert list(np.asarray(ovf)) == [0, 1]
+
+
 def test_pallas5_split_replay_channel():
     # The two-channel (extras) reverse pull only triggers naturally at
     # slack > 16384 — far too slow for interpret mode — so force it via

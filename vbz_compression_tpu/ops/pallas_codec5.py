@@ -51,7 +51,9 @@ from .pallas_codec4 import (
 )
 
 __all__ = ["encode_w2", "decode_w2", "encode_w2_general",
-           "decode_w2_general", "block_offsets_from_keys_flat"]
+           "decode_w2_general", "block_offsets_from_keys_flat",
+           "encode_w2_rows", "decode_w2_rows",
+           "block_offsets_from_keys_rows"]
 
 AG = 4096                 # i8 DMA offset granularity (1-D i8 ref tiling)
 AG_ROWS = AG // LANES     # 32
@@ -177,7 +179,15 @@ def _ext_bytes(slack: int) -> int:
 
 
 def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
-                           split_meta: bool = False):
+                           split_meta: bool = False, bpr: int = 0,
+                           stride: int = 0):
+    """``bpr``/``stride``: blocks per row and per-row data-region length
+    (bytes, an AG multiple) for BATCHED grids — the grid walks rows
+    back-to-back and per-row state (offset, previous sample, carry,
+    totals) resets at each row boundary, so one pallas_call encodes a
+    whole [B, N] batch (one program, full pipelining — the shard_map
+    plane's python-per-row loop serialized on dispatch). ``bpr == 0``
+    means single-row (grid == nblocks)."""
     def _encode_block_kernel(x_ref, keys_ref, data_ref, total_ref, state_ref,
                              carry_ref, stage_ref, sem):
         RV, _ = x_ref.shape
@@ -185,12 +195,21 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
         ext_rows = _ext_bytes(slack) // LANES
         k = pl.program_id(0)
         nblocks = pl.num_programs(0)
+        if bpr:
+            lk = jax.lax.rem(k, bpr)
+            row = jax.lax.div(k, bpr)
+            row_last = lk == bpr - 1
+            base = row * stride
+        else:
+            lk, row = k, 0
+            row_last = k == nblocks - 1
+            base = 0
 
-        @pl.when(k == 0)
+        @pl.when(lk == 0)
         def _():
             state_ref[0] = 0                 # running output byte offset
             state_ref[1] = 0                 # previous sample
-            total_ref[1] = 0                 # overflow flag
+            total_ref[2 * row + 1] = 0       # overflow flag
             carry_ref[:] = jnp.zeros((AG_ROWS, LANES), jnp.int32)
 
         xi = x_ref[:].astype(jnp.int32)
@@ -203,7 +222,8 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
         keys_ref[:] = _pack_keys_mxu(c).astype(jnp.uint8)
         e_sum = jnp.sum(c)
         block_len = jnp.minimum(V + e_sum, V + slack)
-        total_ref[1] = total_ref[1] | (e_sum > slack).astype(jnp.int32)
+        total_ref[2 * row + 1] = total_ref[2 * row + 1] | \
+            (e_sum > slack).astype(jnp.int32)
 
         off = state_ref[0]
         a = off & (AG - 1)
@@ -248,7 +268,7 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
         # flatten (this direction lowers fine; the reverse needs cast-first).
         stage_ref[:] = staged.astype(jnp.int8).reshape(SR * LANES)
 
-        wa = pl.multiple_of(off - a, AG)
+        wa = pl.multiple_of(base + off - a, AG)
         copy = pltpu.make_async_copy(
             stage_ref, data_ref.at[pl.ds(wa, SR * LANES)], sem)
         copy.start()
@@ -268,9 +288,9 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
 
         state_ref[0] = new_off
 
-        @pl.when(k == nblocks - 1)
+        @pl.when(row_last)
         def _():
-            total_ref[0] = new_off
+            total_ref[2 * row] = new_off
 
     return _encode_block_kernel
 
@@ -349,18 +369,23 @@ def decode_w2_general(keys: jax.Array, data_expanded: jax.Array,
                      flavor=flavor, slack=block)
 
 
-def _decode_kernel_factory(d_bits: int, flavor: str, slack: int):
+def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
+                           bpr: int = 0):
     # Payload (16-bit w) and displacement share one i32 token when
     # 1 + d_bits + 16 <= 32 (slack <= 16384); the general variant
     # (slack = block) pulls w as a separate extras channel.
+    # ``bpr``: blocks per row for batched grids — the un-delta scan's
+    # carried sample resets at row boundaries; block offsets already
+    # carry per-row data-region bases, so nothing else is row-aware.
     def _decode_block_kernel(keys_ref, boff_ref, data_ref, out_ref, state_ref,
                              stage_a, stage_b, sem_a, sem_b):
         RV = keys_ref.shape[0] * 4
         V = RV * LANES
         k = pl.program_id(0)
         nblocks = pl.num_programs(0)
+        row_first = jax.lax.rem(k, bpr) == 0 if bpr else k == 0
 
-        @pl.when(k == 0)
+        @pl.when(row_first)
         def _():
             state_ref[0] = 0
 
@@ -512,3 +537,134 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(keys2, block_offsets.astype(jnp.int32), data2)
     return out.reshape(N)
+
+
+# ---------------------------------------------------------------------------
+# Batched-grid variants: one pallas_call over a whole [B, N] batch
+# ---------------------------------------------------------------------------
+
+
+def _row_stride(N: int, block: int, slack: int) -> int:
+    nb = N // block
+    out_len = N + nb * slack + block + _ext_bytes(slack) + 2 * AG
+    return -(-out_len // AG) * AG
+
+
+@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+def encode_w2_rows(x: jax.Array, block: int = 65536, flavor: str = "zz16",
+                   slack: int = 2048):
+    """Encode a ``[B, N]`` batch in ONE kernel program: the grid walks rows
+    back-to-back with per-row state resets (see ``_encode_kernel_factory``).
+    Returns ``(keys u8 [B, N//4], data i8 [B, stride], data_lens i32 [B],
+    overflow i32 [B])``. Replaces the per-row python loop the sharded plane
+    used — dispatch/serialization there cost ~2x of the per-row kernels'
+    throughput."""
+    assert flavor in W2_FLAVORS
+    B, N = x.shape
+    assert x.dtype == _INPUT_DTYPE[flavor]
+    assert N % block == 0 and block % 512 == 0
+    assert slack % LANES == 0 and 0 < slack <= block
+    d_bits = max(slack.bit_length(), 1)
+    split_meta = D_SHIFT + d_bits > 32
+    nb = N // block
+    RV = block // LANES
+    stride = _row_stride(N, block, slack)
+
+    x2 = x.reshape(B * N // LANES, LANES)
+    KR = RV // 4
+
+    keys, data_x, totals = pl.pallas_call(
+        _encode_kernel_factory(d_bits, flavor, slack,
+                               split_meta=split_meta, bpr=nb, stride=stride),
+        grid=(B * nb,),
+        in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * N // 512, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((B * stride,), jnp.int8),
+            jax.ShapeDtypeStruct((2 * B,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((AG_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((block + _ext_bytes(slack),), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x2)
+    t = totals.reshape(B, 2)
+    return (keys.reshape(B, N // 4), data_x.reshape(B, stride),
+            t[:, 0], t[:, 1])
+
+
+def block_offsets_from_keys_rows(keys: jax.Array, block: int,
+                                 stride: int) -> jax.Array:
+    """Flat per-block data offsets for a [B, N//4] key batch, each row
+    based at ``row * stride`` (the batched data layout)."""
+    B, NK = keys.shape
+    kb = keys.astype(jnp.int32)
+    extra = (((kb & 3) != 0).astype(jnp.int32)
+             + (((kb >> 2) & 3) != 0).astype(jnp.int32)
+             + (((kb >> 4) & 3) != 0).astype(jnp.int32)
+             + (((kb >> 6) & 3) != 0).astype(jnp.int32))
+    bsum = block + extra.reshape(B, -1, block // 4).sum(axis=2)
+    offs = jnp.cumsum(bsum, axis=1) - bsum
+    offs = offs + stride * jnp.arange(B, dtype=jnp.int32)[:, None]
+    return offs.reshape(-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+def decode_w2_rows(keys: jax.Array, data_expanded: jax.Array,
+                   block: int = 65536, flavor: str = "zz16",
+                   slack: int = 2048):
+    """Inverse of :func:`encode_w2_rows`: ``keys [B, N//4]`` u8 and
+    ``data_expanded [B, stride]`` i8 (stride = the batched layout's
+    per-row region, ``_row_stride``); returns ``[B, N]``."""
+    assert flavor in W2_FLAVORS
+    B, NK = keys.shape
+    N = NK * 4
+    assert N % block == 0 and block % 512 == 0
+    assert slack % LANES == 0 and 0 < slack <= block
+    d_bits = max(slack.bit_length(), 1)
+    nb = N // block
+    RV = block // LANES
+    stride = _row_stride(N, block, slack)
+    assert data_expanded.shape == (B, stride), \
+        f"want data [B, {stride}], got {data_expanded.shape}"
+
+    boffs = block_offsets_from_keys_rows(keys, block, stride)
+    data2 = data_expanded.astype(jnp.int8).reshape(-1, LANES)
+    keys2 = keys.reshape(B * N // 512, LANES)
+    KR = RV // 4
+
+    out = pl.pallas_call(
+        _decode_kernel_factory(d_bits, flavor, slack, bpr=nb),
+        grid=(B * nb,),
+        in_specs=[
+            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B * N // LANES, LANES), _INPUT_DTYPE[flavor]),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM(((block + _ext_bytes(slack)) // LANES, LANES),
+                       jnp.int8),
+            pltpu.VMEM(((block + _ext_bytes(slack)) // LANES, LANES),
+                       jnp.int8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(keys2, boffs, data2)
+    return out.reshape(B, N)

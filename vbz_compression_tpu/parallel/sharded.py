@@ -162,30 +162,26 @@ def batch_decode_sharded_pallas(keys: jax.Array, data: jax.Array, *,
 def batch_encode_sharded_pallas5(x: jax.Array, *, mesh: Mesh,
                                  block: int = 32768, flavor: str = "zz16",
                                  slack: int = 2048):
-    """codec5 data plane over the mesh: each device encodes its rows with
-    the int8-plane kernels (per-row calls — static python loop over the
-    local shard; the round-1 batched-grid kernels predate the in-kernel key
-    pack and are slower).
+    """codec5 data plane over the mesh: each device encodes its local rows
+    in ONE batched-grid kernel program (``encode_w2_rows`` — the grid walks
+    rows back-to-back with per-row state resets; the previous per-row
+    python loop serialized on dispatch inside shard_map and cost ~2x).
 
     Returns ``(keys u8 [B, N//4] sharded, data i8 [B, STRIDE] sharded,
     data_lens [B] replicated, total_bytes scalar, n_overflowed scalar)``.
     Rows that exceed the compact slack budget are reported via the overflow
-    count — re-encode those rows through the codec3 general kernels.
+    count — re-encode those rows through the general kernels.
     """
     from ..ops import pallas_codec5 as pc5
 
     axis = mesh.axis_names[0]
 
     def local(xs):
-        rows = [pc5.encode_w2(xs[i], block=block, flavor=flavor, slack=slack)
-                for i in range(xs.shape[0])]
-        keys = jnp.stack([r[0] for r in rows])
-        data = jnp.stack([r[1] for r in rows])
-        lens = jnp.stack([r[2] for r in rows])
-        ovf = jnp.stack([r[3] for r in rows])
+        keys, data, lens, ovf = pc5.encode_w2_rows(
+            xs, block=block, flavor=flavor, slack=slack)
         gathered = jax.lax.all_gather(lens, axis, tiled=True)
         total = jax.lax.psum(
-            jnp.sum(lens) + jnp.int32(keys.shape[0] * keys.shape[1] * 4),
+            jnp.sum(lens) + jnp.int32(keys.shape[0] * keys.shape[1]),
             axis)
         n_ovf = jax.lax.psum(jnp.sum(ovf), axis)
         return keys, data, gathered, total, n_ovf
@@ -210,12 +206,8 @@ def batch_decode_sharded_pallas5(keys: jax.Array, data: jax.Array, *,
     axis = mesh.axis_names[0]
 
     def local(ks, ds):
-        outs = [pc5.decode_w2(
-            ks[i], ds[i],
-            pc5.block_offsets_from_keys_flat(ks[i], block),
-            block=block, flavor=flavor, slack=slack)
-            for i in range(ks.shape[0])]
-        return jnp.stack(outs)
+        return pc5.decode_w2_rows(ks, ds, block=block, flavor=flavor,
+                                  slack=slack)
 
     return shard_map(
         local, mesh=mesh,
