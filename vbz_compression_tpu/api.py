@@ -301,9 +301,26 @@ def vbz_compress_sized_batch(chunks, options: CompressionOptions,
     raws = [_as_bytes(c) for c in chunks]
     headers = [struct.pack("<I", len(r)) for r in raws]
     current = raws
+    batch_fn = getattr(backend, "svb_compress_batch", None) \
+        if options.integer_size != 0 else None
+    if options.integer_size != 0 and batch_fn is None and \
+            options.zstd_compression_level != 0:
+        # Host codec with both stages active: run the WHOLE per-chunk
+        # pipeline in the thread pool — the native svb codec and libzstd
+        # both release the GIL, so svb and zstd parallelize across chunks
+        # instead of svb running as a serial prelude.
+        options.validate_version()
+
+        def one(r):
+            s = backend.svb_compress(
+                r, options.integer_size, options.perform_delta_zig_zag,
+                options.vbz_version)
+            return zstd_compress(bytes(s), options.zstd_compression_level)
+
+        return [h + bytes(x)
+                for h, x in zip(headers, _map_zstd(one, raws))]
     if options.integer_size != 0:
         options.validate_version()
-        batch_fn = getattr(backend, "svb_compress_batch", None)
         if batch_fn is not None:
             current = batch_fn(raws, options.integer_size,
                                options.perform_delta_zig_zag,
@@ -347,6 +364,24 @@ def vbz_decompress_sized_batch(streams, options: CompressionOptions,
     raws = [_as_bytes(s) for s in streams]
     sizes = [vbz_decompressed_size(r, options) for r in raws]
     bodies = [r[SIZED_HEADER_BYTES:] for r in raws]
+    if options.zstd_compression_level != 0 and options.integer_size != 0 \
+            and getattr(backend, "svb_decompress_batch", None) is None:
+        # Host codec, both stages: whole per-chunk pipeline per thread
+        # (mirror of the compress path — both C stages release the GIL).
+        options.validate_version()
+
+        def one(bd):
+            body, dst = bd
+            if dst % options.integer_size != 0:
+                raise VbzError(VBZ_DESTINATION_SIZE_ERROR,
+                               f"{dst} % {options.integer_size} != 0")
+            content = zstd_decompress(body, zstd_frame_content_size(body))
+            out = backend.svb_decompress(
+                content, dst // options.integer_size, options.integer_size,
+                options.perform_delta_zig_zag, options.vbz_version)
+            return np.ascontiguousarray(out).tobytes()
+
+        return _map_zstd(one, list(zip(bodies, sizes)))
     if options.zstd_compression_level != 0:
         content_sizes = [zstd_frame_content_size(b) for b in bodies]
         if options.integer_size == 0:
