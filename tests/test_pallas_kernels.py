@@ -6,6 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vbz_compression_tpu.ops import scalar
@@ -404,6 +405,30 @@ def test_pallas5_general_signal():
     sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 4096)),
                   -2000, 2000).astype(np.int16)
     _roundtrip5_general(sig, 1024)
+
+
+def test_pallas5_cross_row_psum_two_level():
+    """The 2-level cross-row prefix sum (transpose + tiny-array scan) must
+    match a plain cumsum at production sizes (R multiple of 128) and the
+    fallback ladder below that."""
+    for R, lo, hi in ((512, 0, 2), (256, 0, 60000), (128, 0, 256),
+                      (36, 0, 9)):
+        rng = np.random.default_rng(R)
+        x = rng.integers(lo, hi, (R, 128)).astype(np.int32)
+
+        def kern(x_ref, o_ref):
+            o_ref[:] = pc5._flat_psum_mxu16(x_ref[:]) if hi > 256 else \
+                pc5._flat_psum_mxu(x_ref[:])
+
+        with pltpu.force_tpu_interpret_mode():
+            out = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            )(jnp.asarray(x))
+        exp = np.cumsum(x.reshape(-1).astype(np.int64)).reshape(R, 128)
+        np.testing.assert_array_equal(
+            np.asarray(out), (exp & 0xFFFFFFFF).astype(np.uint32).astype(
+                np.int64).astype(np.int32), err_msg=f"R={R}")
 
 
 def test_pallas5_rows_batch_roundtrip():

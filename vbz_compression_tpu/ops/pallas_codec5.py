@@ -83,7 +83,15 @@ def _lane_psum_mxu(x: jax.Array) -> jax.Array:
 
 def _cross_row_psum(ps: jax.Array) -> jax.Array:
     """Extend within-row inclusive prefix sums to the flat row-major order
-    with log2(R) sublane roll/add stages (i32 — no precision constraint)."""
+    with log2(R) sublane roll/add stages (i32 — no precision constraint).
+
+    A two-level variant (row totals squeezed to (R/128, 128) via one big
+    transpose + static lane slices, scanned tiny, mapped back with
+    per-group transposes) was built and A/B'd on chip 2026-08-21:
+    decode was a wash and encode measured slower — Mosaic transposes cost
+    about what the ladder saves. Same-window attribution shows the
+    realistic-signal decode gap is the ACTIVE log2(e_sum) routing stages,
+    not this scan. Kept as the simple ladder."""
     R = ps.shape[0]
     rt = jnp.broadcast_to(ps[:, LANES - 1:LANES], (R, LANES))
     acc = rt
