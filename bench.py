@@ -18,9 +18,13 @@ Prints JSON lines (the LAST is the headline metric the driver parses):
   line against reference vbz_compress_sized at zstd level 1.
 
 The workload mirrors the reference perf harness (vbz/perf/vbz_perf.cpp +
-test_data_generator.h): pseudo-signal reads, int16, zig-zag, v0. A
-mixed-content row (sigma=50 steps — exercises the extra-byte replay path)
-is reported as extra fields on the headline line so content dependence is
+test_data_generator.h): pseudo-signal READS, int16, zig-zag, v0 — read
+boundaries leave 3-15 two-byte deltas per 64K block, so this headline
+exercises the gated replay path on every block. NOTE: rounds 1-2 benched a
+boundary-free walk (e_sum = 0 per block), which corresponds to this
+bench's "pure" tier — compare BENCH_r02's value against pure_gb_s, not
+the headline. Mixed (sigma=50, ~1% two-byte deltas) and pure tiers are
+reported as extra fields on the headline line so content dependence is
 captured in BENCH_r*.json, not just README prose.
 """
 
@@ -60,12 +64,21 @@ def load_signal(path: str) -> np.ndarray:
     return np.fromfile(path, dtype=np.int16)
 
 
-# clean: nanopore-like sigma=12 walk on [0, 2000] — codes almost all 0/1,
-# compact kernels. mixed: sigma=50 on +-30000 — ~1% of deltas need a second
-# byte, exercising the decode replay path without overflowing the compact
-# slack budget.
+# clean: nanopore-like sigma=12 walk on [0, 2000] built from pseudo-READS
+# (mirroring the reference perf harness) — read boundaries leave 3-15
+# two-byte deltas per 64K block, so the replay path runs at its gated
+# log2(e_sum) depth on almost every block: the REALISTIC tier. mixed:
+# sigma=50 on +-30000 — ~1% of deltas need a second byte. pure (generated
+# in-process): a boundary-free walk, e_sum == 0 — the whole-block fast
+# path's ceiling.
 CLEAN_ARGS = ("clean", 32, 12, 0, 2000, 42)
 MIXED_ARGS = ("mixed", 32, 50, -30000, 30000, 7)
+
+
+def pure_signal(b: int, n: int):
+    rng = np.random.default_rng(11)
+    return np.clip(500 + np.cumsum(rng.normal(0, 12, (b, n)), axis=1),
+                   -2000, 2000).astype(np.int16)
 
 
 def reference_baseline() -> dict:
@@ -118,6 +131,7 @@ def tpu_codec_gbps() -> dict:
     SLACK = 2048  # compact-kernel extra-bytes budget per block
     sig = load_signal(workload(*CLEAN_ARGS)).reshape(B, N)
     mixed = load_signal(workload(*MIXED_ARGS)).reshape(B, N)
+    pure = pure_signal(B, N)
 
     # Preferred path: Pallas v5 kernels (alignment-split butterfly routing,
     # in-kernel MXU key pack/unpack, int8 data plane). Falls back to the
@@ -152,7 +166,8 @@ def tpu_codec_gbps() -> dict:
             return jnp.sum(jnp.abs(o.astype(jnp.int32) - x.astype(jnp.int32)))
 
         tiers = {}
-        for tier, rows in (("clean", sig), ("mixed", mixed)):
+        for tier, rows in (("clean", sig), ("mixed", mixed),
+                           ("pure", pure)):
             xs = [jax.device_put(jnp.asarray(row)) for row in rows]
             compact = all(
                 int(enc_c(x)[3][None][0]) == 0 for x in xs)
@@ -288,18 +303,21 @@ def _measure(enc_calls, dec_calls, n_values):
         return time.perf_counter() - t0
 
     # The fence RPC costs 0.1-0.35 s with high variance; make the measured
-    # device time dominate it and take the median of several slopes.
-    r_lo, r_hi = 4, 44
+    # device time dominate it, keep r_lo large enough that fence noise
+    # appears (and cancels) in BOTH runs of each difference, and take the
+    # SECOND-best of 5 slopes: the chip is multi-tenant and a bad window
+    # depresses every sample it touches, but a lone lucky slope (fence
+    # noise landing in the r_lo run) can be absurdly fast — one observed
+    # sample read 1 TB/s — so the single best is not trustworthy either.
+    r_lo, r_hi = 22, 44
     run_passes(enc_calls, 1)  # warm fence path
-    enc_samples = sorted(
+    enc_s = sorted(
         (run_passes(enc_calls, r_hi) - run_passes(enc_calls, r_lo)) / (
-            (r_hi - r_lo) * len(enc_calls)) for _ in range(3))
-    enc_s = enc_samples[1]
+            (r_hi - r_lo) * len(enc_calls)) for _ in range(7))[1]
     run_passes(dec_calls, 1)
-    dec_samples = sorted(
+    dec_s = sorted(
         (run_passes(dec_calls, r_hi) - run_passes(dec_calls, r_lo)) / (
-            (r_hi - r_lo) * len(dec_calls)) for _ in range(3))
-    dec_s = dec_samples[1]
+            (r_hi - r_lo) * len(dec_calls)) for _ in range(7))[1]
 
     nbytes = n_values * 2  # per call
     enc_s = max(enc_s, 1e-9)
@@ -364,10 +382,11 @@ def main() -> None:
         "decode_gb_s": round(clean["dec"], 4),
         "baseline_gb_s": round(ref_svb, 4),
     }
-    if "mixed" in tiers:
-        line["mixed_gb_s"] = round(tiers["mixed"]["combined"], 4)
-        line["mixed_encode_gb_s"] = round(tiers["mixed"]["enc"], 4)
-        line["mixed_decode_gb_s"] = round(tiers["mixed"]["dec"], 4)
+    for extra in ("mixed", "pure"):
+        if extra in tiers:
+            line[f"{extra}_gb_s"] = round(tiers[extra]["combined"], 4)
+            line[f"{extra}_encode_gb_s"] = round(tiers[extra]["enc"], 4)
+            line[f"{extra}_decode_gb_s"] = round(tiers[extra]["dec"], 4)
     print(json.dumps(line))
 
 
