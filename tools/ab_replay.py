@@ -84,6 +84,7 @@ def main():
 
     for cname, sig in cases.items():
         xs = [jax.device_put(jnp.asarray(r)) for r in sig]
+        calls = {}
         for vname, (enc, dec) in variants.items():
             k, d, t, ovf = enc(xs[0])
             assert int(ovf[None][0]) == 0
@@ -92,8 +93,16 @@ def main():
                                     - xs[0].astype(jnp.int32)))[None][0])
             assert m == 0, f"{cname}/{vname} round-trip"
             encoded = [enc(x)[:2] for x in xs]
-            dd = measure([lambda k=k, d=d: dec(k, d) for k, d in encoded],
-                         N * 2)
+            calls[vname] = [lambda k=k, d=d, dec=dec: dec(k, d)
+                            for k, d in encoded]
+        # Interleave variants across 4 alternating samples and keep each
+        # variant's BEST — tunnel/chip contention drifts on second scales
+        # and would otherwise bias whichever variant ran in the bad window.
+        best = {v: 0.0 for v in calls}
+        for _ in range(4):
+            for vname, cs in calls.items():
+                best[vname] = max(best[vname], measure(cs, N * 2))
+        for vname, dd in best.items():
             print(f"{cname} {vname}: dec {dd:.1f} GB/s")
 
 
