@@ -106,11 +106,16 @@ def main(argv=None) -> int:
     parser.add_argument("--vbz-version", type=int, default=0, choices=(0, 1))
     parser.add_argument("--zstd-level", type=int, default=1)
     parser.add_argument("--backend",
-                        choices=("scalar", "jax", "pallas", "native"),
-                        default="scalar")
+                        choices=("auto", "scalar", "jax", "pallas",
+                                 "native"),
+                        default="auto",
+                        help="auto = Pallas on TPU, else native C++, else "
+                             "the NumPy oracle (api.default_backend)")
     args = parser.parse_args(argv)
 
-    if args.backend == "jax":
+    if args.backend == "auto":
+        backend = None  # api resolves: pallas-on-TPU -> native -> scalar
+    elif args.backend == "jax":
         from ..models.codec import jax_backend as backend
     elif args.backend == "pallas":
         from ..models.codec import pallas_backend as backend
