@@ -172,3 +172,17 @@ def test_native_selftest_asan():
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     assert "all tests passed" in out.stdout
+
+
+def test_native_tsan_smoke():
+    """Concurrent per-chunk pipeline use under ThreadSanitizer — the shape
+    the Python batch API drives through its thread pool (counterpart of
+    the reference's SANITIZE_THREAD option, cmake/FindTSan.cmake)."""
+    b = subprocess.run(["make", "-C", NATIVE, "-s", "vbz_tsan_smoke"],
+                       capture_output=True, text=True)
+    if b.returncode != 0:
+        pytest.skip(f"TSan toolchain unavailable: {b.stderr[-200:]}")
+    out = subprocess.run([os.path.join(NATIVE, "vbz_tsan_smoke")],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "all threads round-tripped" in out.stdout
