@@ -217,7 +217,7 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
         def _():
             state_ref[0] = 0                 # running output byte offset
             state_ref[1] = 0                 # previous sample
-            total_ref[2 * row + 1] = 0       # overflow flag
+            state_ref[2] = 0                 # row overflow accumulator
             carry_ref[:] = jnp.zeros((AG_ROWS, LANES), jnp.int32)
 
         xi = x_ref[:].astype(jnp.int32)
@@ -230,8 +230,10 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
         keys_ref[:] = _pack_keys_mxu(c).astype(jnp.uint8)
         e_sum = jnp.sum(c)
         block_len = jnp.minimum(V + e_sum, V + slack)
-        total_ref[2 * row + 1] = total_ref[2 * row + 1] | \
-            (e_sum > slack).astype(jnp.int32)
+        # Accumulate the overflow flag in STATICALLY indexed scratch; the
+        # per-row (dynamically indexed) output slot is written once at the
+        # row boundary below.
+        state_ref[2] = state_ref[2] | (e_sum > slack).astype(jnp.int32)
 
         off = state_ref[0]
         a = off & (AG - 1)
@@ -299,6 +301,7 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
         @pl.when(row_last)
         def _():
             total_ref[2 * row] = new_off
+            total_ref[2 * row + 1] = state_ref[2]
 
     return _encode_block_kernel
 
@@ -343,7 +346,7 @@ def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
             pltpu.VMEM((AG_ROWS, LANES), jnp.int32),
             pltpu.VMEM((block + _ext_bytes(slack),), jnp.int8),
             pltpu.SemaphoreType.DMA,
@@ -599,7 +602,7 @@ def encode_w2_rows(x: jax.Array, block: int = 65536, flavor: str = "zz16",
             jax.ShapeDtypeStruct((2 * B,), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
             pltpu.VMEM((AG_ROWS, LANES), jnp.int32),
             pltpu.VMEM((block + _ext_bytes(slack),), jnp.int8),
             pltpu.SemaphoreType.DMA,
