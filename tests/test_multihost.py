@@ -11,12 +11,17 @@ from vbz_compression_tpu.parallel import multihost
 TEST_DATA = "/root/reference/test_data"
 
 
-def test_compress_signals_matches_api():
+@pytest.mark.parametrize("plane", ["xla", "pallas"])
+def test_compress_signals_matches_api(plane):
+    """Both device planes must produce byte-identical sized streams vs the
+    single-chunk api path. The random +-3000 signals overflow the Pallas
+    compact budget on every row, so the pallas case also exercises the
+    per-row general-kernel fallback."""
     rng = np.random.default_rng(0)
     signals = [rng.integers(-3000, 3000, n, dtype=np.int16)
                for n in (5000, 12_000, 130_000, 7)]
     opts = CompressionOptions(True, 2, 1, 0)
-    streams = multihost.compress_signals(signals, opts)
+    streams = multihost.compress_signals(signals, opts, plane=plane)
     assert len(streams) == len(signals)
     for sig, stream in zip(signals, streams):
         ref = api.vbz_compress_sized(sig, opts)
@@ -25,12 +30,26 @@ def test_compress_signals_matches_api():
         np.testing.assert_array_equal(np.frombuffer(out, np.int16), sig)
 
 
+def test_compress_signals_pallas_compact():
+    """Smooth signal rows stay on the compact batched-grid kernels (no
+    overflow fallback) and still match the api streams byte-for-byte."""
+    rng = np.random.default_rng(1)
+    signals = [np.clip(500 + np.cumsum(rng.normal(0, 12, n)), -2000,
+                       2000).astype(np.int16)
+               for n in (30_000, 70_000, 16_384)]
+    opts = CompressionOptions(True, 2, 1, 0)
+    streams = multihost.compress_signals(signals, opts, plane="pallas")
+    for sig, stream in zip(signals, streams):
+        assert stream == api.vbz_compress_sized(sig, opts)
+
+
 @pytest.mark.skipif(not os.path.isdir(TEST_DATA),
                     reason="reference test_data not mounted")
-def test_compress_corpus(tmp_path):
+@pytest.mark.parametrize("plane", ["auto", "pallas"])
+def test_compress_corpus(tmp_path, plane):
     stats = multihost.compress_corpus(
         [os.path.join(TEST_DATA, "multi_fast5_zip.fast5")],
-        out_dir=str(tmp_path))
+        out_dir=str(tmp_path), plane=plane)
     assert stats.files == 1
     assert stats.reads == 10
     assert stats.raw_bytes == 3_097_862
@@ -45,7 +64,8 @@ def test_two_process_corpus(tmp_path):
     """REAL 2-process jax.distributed run: two spawned processes, each with
     its own 4-device CPU mesh, split the corpus round-robin and allgather
     global stats over the distributed backend (the DCN analog). Every
-    process must report identical global totals."""
+    process must report identical global totals. VBZ_PLANE=pallas drives
+    the production codec5 kernels (interpret mode) end to end."""
     import json
     import shutil
     import socket
@@ -62,7 +82,7 @@ def test_two_process_corpus(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=4",
-               PYTHONPATH=repo)
+               PYTHONPATH=repo, VBZ_PLANE="pallas")
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(repo, "tools", "multihost_smoke.py"),
          f"localhost:{port}", "2", str(pid), str(tmp_path), src, second],

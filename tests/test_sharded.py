@@ -56,7 +56,7 @@ def test_entry_compiles():
 
 def test_pallas_sharded_roundtrip():
     """Pallas data plane under shard_map (interpret mode on the CPU mesh):
-    codec3 batched kernels and codec5 per-row kernels."""
+    codec5 batched-grid kernels over the 8-device mesh."""
     from jax.experimental.pallas import tpu as pltpu
 
     mesh = sharded.make_mesh()
@@ -65,18 +65,10 @@ def test_pallas_sharded_roundtrip():
     sig = np.clip(500 + np.cumsum(rng.normal(0, 12, (B, N)), axis=1),
                   -2000, 2000).astype(np.int16)
     with pltpu.force_tpu_interpret_mode():
-        keys, data, lens, total = sharded.batch_encode_sharded_pallas(
-            jnp.asarray(sig), mesh=mesh, block=512)
-        out = sharded.batch_decode_sharded_pallas(
-            keys, data, mesh=mesh, block=512)
-    np.testing.assert_array_equal(np.asarray(out), sig)
-    assert int(total) == int(np.asarray(lens).sum()) + B * N // 4
-
-    with pltpu.force_tpu_interpret_mode():
         k5, d5, l5, t5, novf = sharded.batch_encode_sharded_pallas5(
             jnp.asarray(sig), mesh=mesh, block=512, slack=256)
         out5 = sharded.batch_decode_sharded_pallas5(
             k5, d5, mesh=mesh, block=512, slack=256)
-    assert int(novf) == 0
+    assert int(np.asarray(novf).sum()) == 0
     np.testing.assert_array_equal(np.asarray(out5), sig)
-    np.testing.assert_array_equal(np.asarray(l5), np.asarray(lens))
+    assert int(t5) == int(np.asarray(l5).sum()) + B * N // 4

@@ -71,14 +71,17 @@ def measure(call, nbytes):
 def main() -> None:
     devices = jax.devices()
     mesh = sharded.make_mesh(devices)
+    # The batch must divide over the mesh: scale B up to a multiple of the
+    # device count (on the usual 1-chip axon target this stays B=4).
+    b = -(-B // len(devices)) * len(devices)
     rng = np.random.default_rng(0)
-    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, (B, N)), axis=1),
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, (b, N)), axis=1),
                   -2000, 2000).astype(np.int16)
     x = sharded.shard_batch(mesh, sig)
 
-    keys, data, lens, total, n_ovf = sharded.batch_encode_sharded_pallas5(
+    keys, data, lens, total, ovf = sharded.batch_encode_sharded_pallas5(
         x, mesh=mesh, block=BLOCK, slack=SLACK)
-    assert int(n_ovf[None][0]) == 0, "unexpected compact overflow"
+    assert int(np.asarray(ovf).sum()) == 0, "unexpected compact overflow"
 
     out = sharded.batch_decode_sharded_pallas5(
         keys, data, mesh=mesh, block=BLOCK, slack=SLACK)
@@ -90,11 +93,20 @@ def main() -> None:
     m = int(mism(x, out)[None][0])
     assert m == 0, f"sharded round-trip mismatch on chip: {m}"
 
-    nbytes = B * N * 2
+    nbytes = b * N * 2
     enc = measure(lambda: sharded.batch_encode_sharded_pallas5(
         x, mesh=mesh, block=BLOCK, slack=SLACK)[1], nbytes)
     dec = measure(lambda: sharded.batch_decode_sharded_pallas5(
         keys, data, mesh=mesh, block=BLOCK, slack=SLACK), nbytes)
+
+    # Loose throughput floor: the retry-on-nonpositive-slope sampling above
+    # means noise alone can't fail this check, so a silent 10x collapse
+    # would otherwise pass. r3 measured enc 18.6 / dec 36.3 and chip
+    # windows swing ~3x; 5 GB/s trips a real regression without flaking.
+    floor = float(os.environ.get("VBZ_CHIP_FLOOR_GB_S", "5"))
+    assert enc >= floor and dec >= floor, \
+        f"sharded throughput below floor: enc {enc:.2f} / dec {dec:.2f} " \
+        f"GB/s (floor {floor})"
 
     print(json.dumps({
         "sharded_pallas_chip": "ok",

@@ -26,7 +26,10 @@ def main() -> int:
 
     multihost.initialize(coordinator_address=coordinator,
                          num_processes=int(nproc), process_id=int(pid))
-    stats = multihost.compress_corpus(paths, out_dir=out_dir)
+    # VBZ_PLANE=pallas drives the production codec5 kernels (interpret mode
+    # on this CPU mesh) instead of the XLA plane.
+    stats = multihost.compress_corpus(
+        paths, out_dir=out_dir, plane=os.environ.get("VBZ_PLANE", "auto"))
     print(json.dumps({
         "pid": int(pid),
         "process_count": jax.process_count(),

@@ -304,11 +304,14 @@ def vbz_compress_sized_batch(chunks, options: CompressionOptions,
     batch_fn = getattr(backend, "svb_compress_batch", None) \
         if options.integer_size != 0 else None
     if options.integer_size != 0 and batch_fn is None and \
-            options.zstd_compression_level != 0:
+            options.zstd_compression_level != 0 and \
+            getattr(backend, "gil_free_svb", False):
         # Host codec with both stages active: run the WHOLE per-chunk
-        # pipeline in the thread pool — the native svb codec and libzstd
-        # both release the GIL, so svb and zstd parallelize across chunks
-        # instead of svb running as a serial prelude.
+        # pipeline in the thread pool — this backend's svb stage advertises
+        # that it releases the GIL (gil_free_svb), and libzstd does too, so
+        # svb and zstd parallelize across chunks instead of svb running as
+        # a serial prelude. Pure-Python backends skip this path (the pool
+        # would add overhead without parallelism).
         options.validate_version()
 
         def one(r):
@@ -365,9 +368,10 @@ def vbz_decompress_sized_batch(streams, options: CompressionOptions,
     sizes = [vbz_decompressed_size(r, options) for r in raws]
     bodies = [r[SIZED_HEADER_BYTES:] for r in raws]
     if options.zstd_compression_level != 0 and options.integer_size != 0 \
-            and getattr(backend, "svb_decompress_batch", None) is None:
+            and getattr(backend, "svb_decompress_batch", None) is None \
+            and getattr(backend, "gil_free_svb", False):
         # Host codec, both stages: whole per-chunk pipeline per thread
-        # (mirror of the compress path — both C stages release the GIL).
+        # (mirror of the compress path — both stages release the GIL).
         options.validate_version()
 
         def one(bd):

@@ -119,6 +119,10 @@ def vbz_decompress_sized(data, options: CompressionOptions) -> bytes:
 class NativeSvbBackend:
     """StreamVByte-stage backend over the native lib (zstd level forced 0)."""
 
+    # The ctypes calls drop the GIL for the C codec's duration, so the
+    # whole-pipeline threaded batch path in api.py actually parallelizes.
+    gil_free_svb = True
+
     def svb_compress(self, data, integer_size: int, use_zigzag: bool,
                      version: int) -> bytes:
         src, n = _buf(data)

@@ -60,53 +60,169 @@ def _local_share(paths: list[str]) -> list[str]:
     return [p for i, p in enumerate(sorted(paths)) if i % nproc == pid]
 
 
+# Pallas-plane block limits (see models/codec.py: the in-kernel MXU key
+# pack needs block >= 16384 on hardware; 64K blocks amortize best).
+_PALLAS_MIN_BLOCK = 16384
+_PALLAS_MAX_BLOCK = 65536
+_PALLAS_SLACK = 2048
+
+
+def _pallas_plane(options: CompressionOptions, plane: str) -> bool:
+    """The production Pallas (codec5) sharded plane covers the v0 int16
+    zig-zag hot path; other option combinations ride the XLA plane."""
+    if plane == "xla":
+        return False
+    hot = (options.vbz_version == 0 and options.integer_size == 2
+           and options.perform_delta_zig_zag)
+    if plane == "pallas":
+        return hot
+    return hot and jax.devices()[0].platform == "tpu"
+
+
+def _assemble_svb(keys_row: np.ndarray, data_row: np.ndarray,
+                  n: int) -> bytes:
+    """Wire-format v0 stream from a kernel key/data row pair: keys trimmed
+    to (n+3)/4 (edge padding guarantees zero trailing key bits,
+    streamvbyte_encode's key layout) and the data section to n + E(n)."""
+    key_len = (n + 3) // 4
+    keys_np = keys_row[:key_len]
+    codes = (np.repeat(keys_np, 4) >> np.tile(
+        np.array([0, 2, 4, 6], np.uint8), key_len)) & 3
+    data_len = int(np.minimum(codes[:n], 1).astype(np.int64).sum()) + n
+    return keys_np.tobytes() + data_row[:data_len].tobytes()
+
+
 def compress_signals(signals: list[np.ndarray],
                      options: CompressionOptions | None = None,
-                     mesh=None, bucket: int = 1 << 17) -> list[bytes]:
+                     mesh=None, bucket: int = 1 << 17,
+                     plane: str = "auto", block: int | None = None,
+                     slack: int = _PALLAS_SLACK) -> list[bytes]:
     """Compress a list of int16 signals on the local device mesh and return
     sized vbz streams in input order.
 
     Signals are bucketed by padded length so each bucket is one batched
-    device call; the zstd stage runs host-side on the gathered payloads.
+    device call. On the v0 int16 zig-zag hot path the bucket runs through
+    the chip-validated codec5 Pallas plane
+    (:func:`..parallel.sharded.batch_encode_sharded_pallas5` — batched-grid
+    kernels, int8 data plane); rows whose content overflows the compact
+    slack budget are re-encoded through the general kernel. Other option
+    combinations use the XLA plane. The zstd stage runs host-side,
+    threaded across the bucket's payloads.
+
+    ``plane`` forces a data plane ("pallas"/"xla"; "auto" picks Pallas on
+    TPU) and ``block``/``slack`` override the kernel geometry — both exist
+    for interpret-mode tests; production callers leave the defaults.
     """
+    import struct
+
     options = options or CompressionOptions(True, 2, 1, 0)
     mesh = mesh or sharded.make_mesh(jax.local_devices())
     ndev = len(mesh.devices.reshape(-1))
+    use_pallas = _pallas_plane(options, plane)
 
     out: list[bytes | None] = [None] * len(signals)
     by_bucket: dict[int, list[int]] = {}
+    min_b = block or (_PALLAS_MIN_BLOCK if use_pallas else 4096)
     for i, s in enumerate(signals):
-        b = max(4096, 1 << (max(int(s.size) - 1, 1).bit_length()))
+        b = max(min_b, 4096,
+                1 << (max(int(s.size) - 1, 1).bit_length()))
         by_bucket.setdefault(b, []).append(i)
 
+    on_tpu = jax.devices()[0].platform == "tpu"
     for b, idxs in by_bucket.items():
+        # Off-TPU the Pallas kernels run in interpret mode, whose shared-
+        # memory emulation DEADLOCKS for multi-device meshes once per-row
+        # buffers grow past ~32K values (probed 2026-08-21: threads block in
+        # _allocate_buffer while others hold the global barrier — a JAX
+        # interpret limitation, not a kernel bug). Big buckets therefore run
+        # on a 1-device sub-mesh there; wire output is mesh-independent, and
+        # the multi-device interpret path stays covered by the small-bucket
+        # case (and by test_sharded/dryrun_multichip).
+        bmesh = mesh
+        if use_pallas and not on_tpu and ndev > 1 and b > 32768:
+            bmesh = sharded.make_mesh(mesh.devices.reshape(-1)[:1])
+        ndev_b = len(bmesh.devices.reshape(-1))
         # Pad the batch to a multiple of the device count.
         batch_idx = list(idxs)
-        while len(batch_idx) % ndev:
+        while len(batch_idx) % ndev_b:
             batch_idx.append(idxs[-1])
-        batch, lens = sharded.pad_chunks(
-            [signals[i].astype(np.int16) for i in batch_idx], pad_to=b)
-        streams, stream_lens, _total = sharded.batch_encode_sharded(
-            sharded.shard_batch(mesh, batch),
-            sharded.shard_batch(mesh, lens),
-            mesh=mesh, integer_size=options.integer_size,
-            use_zigzag=options.perform_delta_zig_zag)
-        streams_np = np.asarray(streams)
-        lens_np = np.asarray(stream_lens)
-        for row, i in enumerate(batch_idx[: len(idxs)]):
-            svb = streams_np[row, : lens_np[row]].tobytes()
-            payload = (api.zstd_compress(svb, options.zstd_compression_level)
-                       if options.zstd_compression_level else svb)
-            import struct
-            out[i] = struct.pack("<I", signals[i].nbytes) + payload
+        chunks = [signals[i].astype(np.int16) for i in batch_idx]
+        if use_pallas:
+            import contextlib
+
+            from jax.experimental.pallas import tpu as pltpu
+
+            # Off-TPU (the CPU test mesh) the kernels run in interpret mode;
+            # on hardware this context is a no-op and Mosaic compiles them.
+            # (A factory: generator-based context managers are single-use.)
+            def ctx():
+                return (contextlib.nullcontext() if on_tpu
+                        else pltpu.force_tpu_interpret_mode())
+
+            # Interpret mode also hangs on 64K blocks even single-device
+            # (probed: block 32768 interprets in ~3 s, 65536 never
+            # returns); cap the off-TPU block at 32K. Hardware keeps 64K.
+            max_blk = _PALLAS_MAX_BLOCK if on_tpu else 32768
+            blk = block or min(max_blk, b)
+            # Edge padding → pad deltas are 0 → code-0 key bits, which the
+            # wire-format trim in _assemble_svb relies on.
+            batch, _lens = sharded.pad_chunks(chunks, pad_to=b, mode="edge")
+            with ctx():
+                keys, data, _dlens, _total, ovf = \
+                    sharded.batch_encode_sharded_pallas5(
+                        sharded.shard_batch(bmesh, batch), mesh=bmesh,
+                        block=blk, slack=slack)
+            ovf_np = np.asarray(ovf)
+            keys_np = np.asarray(keys)
+            data_np = np.asarray(data)
+            svbs = []
+            for row, i in enumerate(batch_idx[: len(idxs)]):
+                if ovf_np[row]:
+                    # Compact-budget overflow (dense content): general
+                    # kernel, same wire format, per overflowing row only.
+                    from ..ops import pallas_codec5 as pc5
+
+                    import jax.numpy as jnp
+
+                    with ctx():
+                        kg, dg, _ = pc5.encode_w2_general(
+                            jnp.asarray(batch[row]), block=blk,
+                            flavor="zz16")
+                    svbs.append(_assemble_svb(
+                        np.asarray(kg), np.asarray(dg), signals[i].size))
+                else:
+                    svbs.append(_assemble_svb(
+                        keys_np[row], data_np[row], signals[i].size))
+        else:
+            batch, lens = sharded.pad_chunks(chunks, pad_to=b)
+            streams, stream_lens, _total = sharded.batch_encode_sharded(
+                sharded.shard_batch(mesh, batch),
+                sharded.shard_batch(mesh, lens),
+                mesh=mesh, integer_size=options.integer_size,
+                use_zigzag=options.perform_delta_zig_zag)
+            streams_np = np.asarray(streams)
+            lens_np = np.asarray(stream_lens)
+            svbs = [streams_np[row, : lens_np[row]].tobytes()
+                    for row in range(len(idxs))]
+
+        if options.zstd_compression_level:
+            payloads = api._map_zstd(
+                lambda s: api.zstd_compress(
+                    s, options.zstd_compression_level), svbs)
+        else:
+            payloads = svbs
+        for i, payload in zip(batch_idx[: len(idxs)], payloads):
+            out[i] = struct.pack("<I", signals[i].nbytes) + bytes(payload)
     return [o for o in out if o is not None]
 
 
 def compress_corpus(paths: list[str], out_dir: str | None = None,
-                    options: CompressionOptions | None = None) -> CorpusStats:
+                    options: CompressionOptions | None = None,
+                    plane: str = "auto") -> CorpusStats:
     """Compress every signal in this process's share of ``paths``.
 
     Returns *global* corpus stats (allgathered across processes).
+    ``plane`` selects the device data plane (see :func:`compress_signals`).
     """
     options = options or CompressionOptions(True, 2, 1, 0)
     local = _local_share(paths)
@@ -115,7 +231,7 @@ def compress_corpus(paths: list[str], out_dir: str | None = None,
         signals = list(hdf5_chunks.read_gzip_signals(path).values())
         if not signals:
             continue
-        streams = compress_signals(signals, options)
+        streams = compress_signals(signals, options, plane=plane)
         files += 1
         reads += len(signals)
         raw += sum(s.nbytes for s in signals)

@@ -102,59 +102,11 @@ def batch_decode_sharded(streams: jax.Array, lengths: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Pallas-kernel data plane over the mesh (full-row batches)
+# Pallas-kernel data plane over the mesh (full-row batches). The codec3
+# variant that lived here through round 3 was superseded by the codec5
+# plane below (int8 data plane + batched-grid kernels) and was deleted —
+# see git history if the i32-data-plane formulation is ever needed again.
 # ---------------------------------------------------------------------------
-
-
-@functools.partial(jax.jit, static_argnames=("mesh", "block", "flavor"))
-def batch_encode_sharded_pallas(x: jax.Array, *, mesh: Mesh,
-                                block: int = 16384, flavor: str = "zz16"):
-    """Encode a [B, N] batch of *full rows* with the Pallas kernels,
-    data-parallel over the mesh (rows padded edge-mode so pad codes are 0;
-    see ``pad_chunks(mode='edge')``).
-
-    Returns ``(keys u8 [B, N//4] sharded, data i32 [B, STRIDE] sharded,
-    data_lens i32 [B] replicated, total_bytes scalar)``.
-    """
-    from ..ops import pallas_codec3 as pc3
-
-    axis = mesh.axis_names[0]
-
-    def local(xs):
-        keys, data, lens = pc3.encode_w2_batch(xs, block=block,
-                                               flavor=flavor)
-        gathered = jax.lax.all_gather(lens, axis, tiled=True)
-        total = jax.lax.psum(
-            jnp.sum(lens) + jnp.int32(keys.shape[0] * keys.shape[1]), axis)
-        return keys, data, gathered, total
-
-    return shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis),),
-        out_specs=(P(axis), P(axis), P(), P()),
-        check_vma=False,
-    )(x)
-
-
-@functools.partial(jax.jit, static_argnames=("mesh", "block", "flavor"))
-def batch_decode_sharded_pallas(keys: jax.Array, data: jax.Array, *,
-                                mesh: Mesh, block: int = 16384,
-                                flavor: str = "zz16"):
-    """Inverse of :func:`batch_encode_sharded_pallas`; [B, N] sharded out."""
-    from ..ops import pallas_codec3 as pc3
-
-    axis = mesh.axis_names[0]
-
-    def local(ks, ds):
-        boffs = pc3.block_offsets_from_keys_batch(ks, block)
-        return pc3.decode_w2_batch(ks, ds, boffs, block=block, flavor=flavor)
-
-    return shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-        check_vma=False,
-    )(keys, data)
 
 
 @functools.partial(jax.jit,
@@ -168,9 +120,10 @@ def batch_encode_sharded_pallas5(x: jax.Array, *, mesh: Mesh,
     python loop serialized on dispatch inside shard_map and cost ~2x).
 
     Returns ``(keys u8 [B, N//4] sharded, data i8 [B, STRIDE] sharded,
-    data_lens [B] replicated, total_bytes scalar, n_overflowed scalar)``.
-    Rows that exceed the compact slack budget are reported via the overflow
-    count — re-encode those rows through the general kernels.
+    data_lens [B] replicated, total_bytes scalar, overflow i32 [B]
+    replicated)``. Rows that exceed the compact slack budget have a nonzero
+    overflow flag — re-encode exactly those rows through the general
+    kernels (the multihost corpus driver does this).
     """
     from ..ops import pallas_codec5 as pc5
 
@@ -183,8 +136,8 @@ def batch_encode_sharded_pallas5(x: jax.Array, *, mesh: Mesh,
         total = jax.lax.psum(
             jnp.sum(lens) + jnp.int32(keys.shape[0] * keys.shape[1]),
             axis)
-        n_ovf = jax.lax.psum(jnp.sum(ovf), axis)
-        return keys, data, gathered, total, n_ovf
+        ovf_g = jax.lax.all_gather(ovf, axis, tiled=True)
+        return keys, data, gathered, total, ovf_g
 
     return shard_map(
         local, mesh=mesh,

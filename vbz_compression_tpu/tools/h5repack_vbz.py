@@ -49,9 +49,14 @@ def repack(src: str, dst: str, filter_id: int, cd_values: tuple[int, ...],
                 g.attrs[k] = v
             return
         kwargs = {}
-        if obj.chunks or chunk:
+        if obj.ndim == 1 and obj.shape[0] > 0 and (obj.chunks or chunk):
             kwargs = dict(chunks=obj.chunks or (min(chunk, obj.shape[0]),),
                           compression=filter_id, compression_opts=cd_values)
+        elif obj.chunks:
+            # Scalar / N-d / empty datasets pass through unfiltered (stock
+            # h5repack likewise skips datasets a UD filter can't apply to)
+            # but keep their chunking.
+            kwargs = dict(chunks=obj.chunks)
         d = fout.create_dataset(name, data=obj[...], dtype=obj.dtype,
                                 **kwargs)
         for k, v in obj.attrs.items():

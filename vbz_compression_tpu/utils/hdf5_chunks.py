@@ -56,18 +56,25 @@ def iter_vbz_signal_chunks(path) -> Iterator[tuple[str, CompressionOptions, byte
     vbz-compressed signal in a fast5 file."""
     import h5py
 
-    # Materialize before yielding: a generator holding an open File raises
-    # from h5py teardown when a partially-consumed iterator is GC'd at
-    # interpreter shutdown (the with-exit runs after h5py's globals clear).
-    items = []
+    # No h5py handle may be held across a yield: a generator holding an open
+    # File raises from h5py teardown when a partially-consumed iterator is
+    # GC'd at interpreter shutdown (the with-exit runs after h5py's globals
+    # clear). Materializing the WHOLE file before yielding (the round-2 fix)
+    # made memory grow with file size; instead list the dataset names first,
+    # then materialize one dataset's chunks at a time with a short-lived
+    # reopen — memory is bounded by one dataset and the File is always
+    # closed before control leaves this frame.
     with h5py.File(path, "r") as f:
-        for name, dset in iter_signal_datasets(f):
+        names = [name for name, _ in iter_signal_datasets(f)]
+    for name in names:
+        items = []
+        with h5py.File(path, "r") as f:
+            dset = f[name]["Raw/Signal"]
             opts = dataset_vbz_options(dset)
-            if opts is None:
-                continue
-            for _off, data in read_raw_chunks(dset):
-                items.append((name, opts, data, dset.shape[0]))
-    yield from items
+            if opts is not None:
+                for _off, data in read_raw_chunks(dset):
+                    items.append((name, opts, data, dset.shape[0]))
+        yield from items
 
 
 def read_gzip_signals(path) -> dict[str, np.ndarray]:
