@@ -187,7 +187,33 @@ def tpu_codec_gbps() -> dict:
                   f"({'compact' if compact else 'general'})", file=sys.stderr)
             enc_gbps, dec_gbps = _measure(enc_calls, dec_calls, N)
             tiers[tier] = {"enc": enc_gbps, "dec": dec_gbps,
-                           "combined": _hm(enc_gbps, dec_gbps)}
+                           "combined": _hm(enc_gbps, dec_gbps),
+                           "compact": compact}
+
+        # Speed-of-light accounting (BASELINE.md's own yardstick; the
+        # reference counts bytes/s per config, vbz_perf.cpp:45-46): measure
+        # what a Pallas block copy achieves on THIS chip window, divide by
+        # each kernel's HBM traffic per input byte, and report every tier
+        # as a fraction of that bandwidth-bound ceiling.
+        from vbz_compression_tpu.utils import roofline
+
+        copy_bw = roofline.measure_copy_gbps()
+        f_compact = roofline.w2_traffic_factor(BLOCK, SLACK)
+        f_general = roofline.w2_traffic_factor(BLOCK, BLOCK)
+        for tier, d in tiers.items():
+            factor = f_compact if d.pop("compact") else f_general
+            sol = copy_bw / factor
+            d["pct_of_roofline_enc"] = 100 * d["enc"] / sol
+            d["pct_of_roofline_dec"] = 100 * d["dec"] / sol
+        tiers["_roofline"] = {
+            "hbm_copy_gb_s": copy_bw,
+            "hbm_peak_gb_s": roofline.HBM_PEAK_GB_S,
+            "traffic_per_input_byte_compact": f_compact,
+            "sol_gb_s_compact": copy_bw / f_compact,
+        }
+        print(f"# roofline: copy {copy_bw:.0f} GB/s, compact SoL "
+              f"{copy_bw / f_compact:.0f} GB/s per direction",
+              file=sys.stderr)
         return tiers
     except Exception as exc:  # pragma: no cover - backend-dependent
         print(f"# pallas path unavailable ({type(exc).__name__}: {exc}); "
@@ -372,6 +398,7 @@ def main() -> None:
         print(f"# own-encoder line failed: {exc}", file=sys.stderr)
 
     tiers = tpu_codec_gbps()
+    roof = tiers.pop("_roofline", None)
     clean = tiers["clean"]
     line = {
         "metric": "int16_signal_codec_encdec_throughput",
@@ -387,6 +414,16 @@ def main() -> None:
             line[f"{extra}_gb_s"] = round(tiers[extra]["combined"], 4)
             line[f"{extra}_encode_gb_s"] = round(tiers[extra]["enc"], 4)
             line[f"{extra}_decode_gb_s"] = round(tiers[extra]["dec"], 4)
+    if roof is not None:
+        line["hbm_copy_gb_s"] = round(roof["hbm_copy_gb_s"], 1)
+        line["hbm_peak_gb_s"] = roof["hbm_peak_gb_s"]
+        line["sol_gb_s"] = round(roof["sol_gb_s_compact"], 1)
+        for tier, d in tiers.items():
+            if "pct_of_roofline_enc" in d:
+                line[f"{tier}_pct_of_roofline_enc"] = round(
+                    d["pct_of_roofline_enc"], 2)
+                line[f"{tier}_pct_of_roofline_dec"] = round(
+                    d["pct_of_roofline_dec"], 2)
     print(json.dumps(line))
 
 

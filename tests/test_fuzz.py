@@ -36,6 +36,7 @@ def _inputs(seed):
     return [k.tobytes() for k in kinds]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_roundtrip_all_configs(seed):
     for data in _inputs(seed):
@@ -46,6 +47,7 @@ def test_fuzz_roundtrip_all_configs(seed):
             assert api.vbz_decompress(unsized, len(data), opts) == data
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(8))
 def test_fuzz_adversarial_decompress(seed):
     rng = np.random.default_rng(1000 + seed)
@@ -151,6 +153,7 @@ REF_CORPUS = "/root/reference/vbz/fuzzing/fuzz_corpus"
 
 @pytest.mark.skipif(not os.path.isdir(REF_CORPUS),
                     reason="reference corpus not mounted")
+@pytest.mark.slow
 def test_fuzz_reference_corpus_replay():
     """Replay the reference's checked-in 238-file fuzz corpus through the
     same two properties its harness applies per input

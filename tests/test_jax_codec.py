@@ -59,6 +59,7 @@ def test_malformed_stream_raises():
         jax_backend.svb_decompress(b"\x00\x01\x02\x03\x04\x05", 4, 2, True, 0)
 
 
+@pytest.mark.slow
 def test_api_pipeline_with_jax_backend():
     sig = _random(np.int16, 123_456, seed=9)
     opts = CompressionOptions(True, 2, 1, 0)
@@ -69,6 +70,7 @@ def test_api_pipeline_with_jax_backend():
     np.testing.assert_array_equal(np.frombuffer(rt, np.int16), sig)
 
 
+@pytest.mark.slow
 def test_fast5_corpus_jax_backend():
     import os
     from vbz_compression_tpu.utils import hdf5_chunks

@@ -45,6 +45,7 @@ def test_compress_signals_pallas_compact():
 
 @pytest.mark.skipif(not os.path.isdir(TEST_DATA),
                     reason="reference test_data not mounted")
+@pytest.mark.slow
 @pytest.mark.parametrize("plane", ["auto", "pallas"])
 def test_compress_corpus(tmp_path, plane):
     stats = multihost.compress_corpus(
@@ -60,6 +61,7 @@ def test_compress_corpus(tmp_path, plane):
 
 @pytest.mark.skipif(not os.path.isdir(TEST_DATA),
                     reason="reference test_data not mounted")
+@pytest.mark.slow
 def test_two_process_corpus(tmp_path):
     """REAL 2-process jax.distributed run: two spawned processes, each with
     its own 4-device CPU mesh, split the corpus round-robin and allgather

@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # builds the reference plugin binary
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUR_PLUGIN = os.path.join(REPO, "native")
 REF_PLUGIN = os.path.join(REPO, "native", "refplugin")
