@@ -361,6 +361,54 @@ def test_pallas5_roundtrip_mixed_codes():
     _roundtrip4(sig, 512, 512, mod=pc5)
 
 
+def _sparse_workload(n: int = 4096, spikes_every: int = 128) -> np.ndarray:
+    """Smooth walk with a large delta every ``spikes_every`` values: each
+    512-value block carries ~4 two-byte deltas (e_sum in the sparse-replay
+    regime, like the realistic fast5 read-boundary workload)."""
+    rng = np.random.default_rng(3)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, n)), -2000,
+                  2000).astype(np.int16)
+    sig[spikes_every // 2::spikes_every] += 900
+    return sig
+
+
+def test_pallas5_sparse_replay_roundtrip():
+    # e_sum ~ 4 per 512 block <= SPARSE_REPLAY_MAX -> the per-level select
+    # path decodes (the dispatch cond picks it inside the kernel).
+    _roundtrip4(_sparse_workload(), 512, 256, mod=pc5)
+
+
+def test_pallas5_sparse_vs_dense_replay():
+    """The sparse per-level select and the dense push/pull ladder must
+    decode identical streams identically (sparse_max=0 forces dense)."""
+    sig = _sparse_workload()
+    N = sig.size
+    ref = scalar.svb_compress(sig, 2, True, 0)
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    boffs = pc4.block_offsets_from_keys(jnp.asarray(keysA), 512)
+    outs = {}
+    for sparse_max in (0, 10, 64):
+        with pltpu.force_tpu_interpret_mode():
+            out = pc5.decode_w2(
+                jnp.asarray(keysA), jnp.asarray(datab.astype(np.int32)),
+                boffs, block=512, flavor="zz16", slack=256,
+                sparse_max=sparse_max)
+        outs[sparse_max] = np.asarray(out)
+        np.testing.assert_array_equal(outs[sparse_max], sig)
+
+
+def test_pallas5_sparse_replay_boundary():
+    # e_sum exactly at / just past the sparse bound exercises the
+    # dispatch cond on both sides within one stream.
+    rng = np.random.default_rng(5)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 2048)), -2000,
+                  2000).astype(np.int16)
+    sig[10:523:51] += 700        # block 0: 11 spikes (> sparse_max 10)
+    sig[512 + 37::400] += 700    # later blocks: sparse
+    _roundtrip4(sig, 512, 256, mod=pc5)
+
+
 def test_pallas5_overflow_flag():
     sig = (np.arange(2048, dtype=np.int32) * 200).astype(np.int16)
     _roundtrip4(sig, 512, 128, expect_overflow=True, mod=pc5)

@@ -63,6 +63,15 @@ AG_ROWS = AG // LANES     # 32
 # slack > 16384 (d_bits > 15) — sizes far too slow for interpret-mode CI.
 _FORCE_SPLIT_REPLAY = False
 
+# Sparse-replay regime bound: blocks with e_sum <= this decode via one
+# static-shift select per displacement level (sparse_max light stages, no
+# forward routing pass) instead of the dense 2*log2(e_sum) push/pull
+# ladder. The realistic fast5 workload carries 3-15 two-byte deltas per
+# 64K block (read boundaries), squarely in this regime. Swept on chip
+# 2026-08-21: 16 beats 10 (covers every realistic block) and 24 is worse
+# on every tier. Set to 0 to force the dense ladder (tests).
+SPARSE_REPLAY_MAX = 16
+
 
 def _lane_psum_mxu(x: jax.Array) -> jax.Array:
     """Within-row inclusive prefix sum of [R,128] via one bf16 MXU matmul
@@ -381,7 +390,8 @@ def decode_w2_general(keys: jax.Array, data_expanded: jax.Array,
 
 
 def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
-                           bpr: int = 0):
+                           bpr: int = 0,
+                           sparse_max: int = SPARSE_REPLAY_MAX):
     # Payload (16-bit w) and displacement share one i32 token when
     # 1 + d_bits + 16 <= 32 (slack <= 16384); the general variant
     # (slack = block) pulls w as a separate extras channel.
@@ -467,10 +477,39 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
             w16 = w16[:RV]
             return (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
 
+        def _sparse(fetched):
+            # Sparse per-level select replay: value slot i reads stream
+            # slot i + E(i); E is monotone and bounded by e_sum, so one
+            # STATIC shift-by-1 + select per displacement level replays
+            # the block in sparse_max light stages — no forward routing
+            # pass, no token pack/unpack. The realistic fast5 tier (3-15
+            # extras per 64K block from read boundaries) lives here; dense
+            # blocks keep the 2*log2(e_sum) ladder (_replayed).
+            # Straight-line on purpose: per-level lax.conds made Mosaic
+            # statically allocate every level's temporaries side by side,
+            # slowing EVERY grid step ~linearly in sparse_max even when
+            # the branch never ran (probed 2026-08-21: pure-tier decode
+            # 47->38 GB/s from sm=0 to sm=10 with gated levels). The
+            # incremental shift keeps one live temp.
+            w = fetched | ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
+            E = _flat_psum_mxu(c) - c
+            # Shifts of d <= sparse_max < 128 slots only read one row past
+            # the value region; slice once, shift the small array.
+            cur = w[:RV + 1]
+            res = cur[:RV]
+            for d in range(1, sparse_max + 1):
+                cur = _flat_shift_left(cur, 1)
+                res = jnp.where(E == d, cur[:RV], res)
+            return (res & 0xFF) | (((res >> 8) & 0xFF) * c << 8)
+
         # All-code-0 block: every byte at slot i IS value i — no candidate
         # assembly, no replay.
-        vals = jax.lax.cond(e_sum > 0, _replayed,
-                            lambda fetched: fetched[:RV], fetched)
+        vals = jax.lax.cond(
+            e_sum > 0,
+            lambda f: jax.lax.cond(e_sum <= sparse_max, _sparse, _replayed,
+                                   f)
+            if sparse_max else _replayed(f),
+            lambda f: f[:RV], fetched)
 
         u = jax.lax.bitcast_convert_type(vals, jnp.uint32)
         neg = jnp.uint32(0) - (u & 1)
@@ -493,13 +532,18 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
     return _decode_block_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "flavor", "slack",
+                                    "sparse_max"))
 def decode_w2(keys: jax.Array, data_expanded: jax.Array,
               block_offsets: jax.Array, block: int = 32768,
-              flavor: str = "zz16", slack: int = 2048):
+              flavor: str = "zz16", slack: int = 2048,
+              sparse_max: int = SPARSE_REPLAY_MAX):
     """Inverse of :func:`encode_w2`; ``data_expanded`` holds one true byte
-    per element (i8/u8). Caller contract as codec4."""
+    per element (i8/u8). Caller contract as codec4. ``sparse_max`` bounds
+    the sparse per-level replay regime (0 forces the dense ladder)."""
     assert flavor in W2_FLAVORS
+    assert 0 <= sparse_max < LANES
     N = keys.shape[0] * 4
     assert N % block == 0 and block % 512 == 0
     assert slack % LANES == 0 and 0 < slack <= block
@@ -524,7 +568,8 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
     KR = RV // 4
 
     out = pl.pallas_call(
-        _decode_kernel_factory(d_bits, flavor, slack),
+        _decode_kernel_factory(d_bits, flavor, slack,
+                               sparse_max=sparse_max),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((KR, LANES), lambda i: (i, 0),
@@ -630,10 +675,13 @@ def block_offsets_from_keys_rows(keys: jax.Array, block: int,
     return offs.reshape(-1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "flavor", "slack",
+                                    "sparse_max"))
 def decode_w2_rows(keys: jax.Array, data_expanded: jax.Array,
                    block: int = 65536, flavor: str = "zz16",
-                   slack: int = 2048):
+                   slack: int = 2048,
+                   sparse_max: int = SPARSE_REPLAY_MAX):
     """Inverse of :func:`encode_w2_rows`: ``keys [B, N//4]`` u8 and
     ``data_expanded [B, stride]`` i8 (stride = the batched layout's
     per-row region, ``_row_stride``); returns ``[B, N]``."""
@@ -655,7 +703,8 @@ def decode_w2_rows(keys: jax.Array, data_expanded: jax.Array,
     KR = RV // 4
 
     out = pl.pallas_call(
-        _decode_kernel_factory(d_bits, flavor, slack, bpr=nb),
+        _decode_kernel_factory(d_bits, flavor, slack, bpr=nb,
+                               sparse_max=sparse_max),
         grid=(B * nb,),
         in_specs=[
             pl.BlockSpec((KR, LANES), lambda i: (i, 0),
