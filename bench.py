@@ -142,15 +142,19 @@ def tpu_codec_gbps() -> dict:
         # Compact variant: the routed array spans block+SLACK (not 2*block)
         # slots; overflowing blocks are flagged and the codec5 general
         # kernel takes over (signal workloads essentially never overflow).
+        # The batch rides the FLAT (B*N/128, 128) layout end to end — the
+        # production bulk path (one batched-grid kernel program per call;
+        # [B, N]-shaped device arrays force 2-3x XLA relayouts, the
+        # round-3 "batched encode gap", tools/ab_rows_encode.py).
         @jax.jit
-        def enc_c(x):
-            return pc5.encode_w2(x, block=BLOCK, flavor="zz16", slack=SLACK)
+        def enc_r(x2):
+            return pc5.encode_w2_rows_flat(x2, B, block=BLOCK,
+                                           flavor="zz16", slack=SLACK)
 
         @jax.jit
-        def dec_c(keys, data):
-            boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK)
-            return pc5.decode_w2(keys, data, boffs, block=BLOCK,
-                                 flavor="zz16", slack=SLACK)
+        def dec_r(keys2, data):
+            return pc5.decode_w2_rows_flat(keys2, data, B, block=BLOCK,
+                                           flavor="zz16", slack=SLACK)
 
         @jax.jit
         def enc_g(x):
@@ -168,24 +172,33 @@ def tpu_codec_gbps() -> dict:
         tiers = {}
         for tier, rows in (("clean", sig), ("mixed", mixed),
                            ("pure", pure)):
-            xs = [jax.device_put(jnp.asarray(row)) for row in rows]
-            compact = all(
-                int(enc_c(x)[3][None][0]) == 0 for x in xs)
-            enc_p = enc_c if compact else enc_g
-            dec_p = dec_c if compact else dec_g
+            x2 = jax.device_put(jnp.asarray(
+                rows.reshape(B * N // 128, 128)))
+            k2, d, _lens, ovf = enc_r(x2)
+            compact = int(jnp.sum(ovf)[None][0]) == 0
 
-            # Verify round-trip ON DEVICE for every row (scalar pulls only).
-            encoded = [enc_p(x)[:2] for x in xs]
-            for x, (k, d) in zip(xs, encoded):
-                m = int(mismatch(x, dec_p(k, d))[None][0])
+            if compact:
+                # Round-trip asserted ON DEVICE (scalar pull only).
+                m = int(mismatch(x2, dec_r(k2, d))[None][0])
                 assert m == 0, f"pallas round-trip mismatch ({tier}): {m}"
-
-            enc_calls = [lambda row=row: enc_p(row)[1] for row in xs]
-            dec_calls = [lambda k=k, d=d: dec_p(k, d)
-                         for k, d in encoded]
+                enc_calls = [lambda: enc_r(x2)[1]]
+                dec_calls = [lambda: dec_r(k2, d)]
+                n_per_call = B * N
+            else:
+                # General fallback: per-row single-grid kernels.
+                xs = [jax.device_put(jnp.asarray(row)) for row in rows]
+                encoded = [enc_g(x)[:2] for x in xs]
+                for x, (k, dd) in zip(xs, encoded):
+                    m = int(mismatch(x, dec_g(k, dd))[None][0])
+                    assert m == 0, f"round-trip mismatch ({tier}): {m}"
+                enc_calls = [lambda row=row: enc_g(row)[1] for row in xs]
+                dec_calls = [lambda k=k, dd=dd: dec_g(k, dd)
+                             for k, dd in encoded]
+                n_per_call = N
             print(f"# {tier}: pallas kernels "
-                  f"({'compact' if compact else 'general'})", file=sys.stderr)
-            enc_gbps, dec_gbps = _measure(enc_calls, dec_calls, N)
+                  f"({'compact batched' if compact else 'general'})",
+                  file=sys.stderr)
+            enc_gbps, dec_gbps = _measure(enc_calls, dec_calls, n_per_call)
             tiers[tier] = {"enc": enc_gbps, "dec": dec_gbps,
                            "combined": _hm(enc_gbps, dec_gbps),
                            "compact": compact}
@@ -329,21 +342,35 @@ def _measure(enc_calls, dec_calls, n_values):
         return time.perf_counter() - t0
 
     # The fence RPC costs 0.1-0.35 s with high variance; make the measured
-    # device time dominate it, keep r_lo large enough that fence noise
-    # appears (and cancels) in BOTH runs of each difference, and take the
-    # SECOND-best of 5 slopes: the chip is multi-tenant and a bad window
+    # device time dominate it (the rep delta is sized from a pilot run so
+    # the differenced device time is ~0.6 s regardless of kernel speed —
+    # a fixed delta under-resolves fast kernels: the batched pure-tier
+    # encode at >100 GB/s produced non-positive slopes at delta 22), keep
+    # r_lo large enough that fence noise appears (and cancels) in BOTH
+    # runs of each difference, reject non-positive slopes, and take the
+    # SECOND-best of 5: the chip is multi-tenant and a bad window
     # depresses every sample it touches, but a lone lucky slope (fence
     # noise landing in the r_lo run) can be absurdly fast — one observed
     # sample read 1 TB/s — so the single best is not trustworthy either.
-    r_lo, r_hi = 22, 44
-    run_passes(enc_calls, 1)  # warm fence path
-    enc_s = sorted(
-        (run_passes(enc_calls, r_hi) - run_passes(enc_calls, r_lo)) / (
-            (r_hi - r_lo) * len(enc_calls)) for _ in range(7))[1]
-    run_passes(dec_calls, 1)
-    dec_s = sorted(
-        (run_passes(dec_calls, r_hi) - run_passes(dec_calls, r_lo)) / (
-            (r_hi - r_lo) * len(dec_calls)) for _ in range(7))[1]
+    def slope_per_call(fn_calls):
+        run_passes(fn_calls, 1)  # warm fence path
+        pilot = (run_passes(fn_calls, 24) - run_passes(fn_calls, 4)) / 20
+        pilot = max(pilot, 5e-5)
+        dr = int(min(max(0.6 / pilot, 22), 3000))
+        r_lo = 22
+        samples = []
+        for _ in range(12):
+            s = (run_passes(fn_calls, r_lo + dr)
+                 - run_passes(fn_calls, r_lo)) / dr
+            if s > 0:
+                samples.append(s)
+            if len(samples) >= 5:
+                break
+        assert len(samples) >= 2, "chip window too noisy for a slope"
+        return sorted(samples)[1] / len(fn_calls)
+
+    enc_s = slope_per_call(enc_calls)
+    dec_s = slope_per_call(dec_calls)
 
     nbytes = n_values * 2  # per call
     enc_s = max(enc_s, 1e-9)

@@ -66,9 +66,11 @@ def test_pallas_sharded_roundtrip():
                   -2000, 2000).astype(np.int16)
     with pltpu.force_tpu_interpret_mode():
         k5, d5, l5, t5, novf = sharded.batch_encode_sharded_pallas5(
-            jnp.asarray(sig), mesh=mesh, block=512, slack=256)
+            jnp.asarray(sharded.flatten_rows(sig)), mesh=mesh, batch=B,
+            block=512, slack=256)
         out5 = sharded.batch_decode_sharded_pallas5(
-            k5, d5, mesh=mesh, block=512, slack=256)
+            k5, d5, mesh=mesh, batch=B, block=512, slack=256)
     assert int(np.asarray(novf).sum()) == 0
-    np.testing.assert_array_equal(np.asarray(out5), sig)
+    np.testing.assert_array_equal(
+        np.asarray(out5).reshape(B, N), sig)
     assert int(t5) == int(np.asarray(l5).sum()) + B * N // 4

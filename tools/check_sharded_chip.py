@@ -77,14 +77,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     sig = np.clip(500 + np.cumsum(rng.normal(0, 12, (b, N)), axis=1),
                   -2000, 2000).astype(np.int16)
-    x = sharded.shard_batch(mesh, sig)
+    x = sharded.shard_batch(mesh, sharded.flatten_rows(sig))
 
     keys, data, lens, total, ovf = sharded.batch_encode_sharded_pallas5(
-        x, mesh=mesh, block=BLOCK, slack=SLACK)
+        x, mesh=mesh, batch=b, block=BLOCK, slack=SLACK)
     assert int(np.asarray(ovf).sum()) == 0, "unexpected compact overflow"
 
     out = sharded.batch_decode_sharded_pallas5(
-        keys, data, mesh=mesh, block=BLOCK, slack=SLACK)
+        keys, data, mesh=mesh, batch=b, block=BLOCK, slack=SLACK)
 
     # Round-trip asserted on device (scalar pull only — host pulls of the
     # full batch take minutes through the tunnel).
@@ -95,9 +95,9 @@ def main() -> None:
 
     nbytes = b * N * 2
     enc = measure(lambda: sharded.batch_encode_sharded_pallas5(
-        x, mesh=mesh, block=BLOCK, slack=SLACK)[1], nbytes)
+        x, mesh=mesh, batch=b, block=BLOCK, slack=SLACK)[1], nbytes)
     dec = measure(lambda: sharded.batch_decode_sharded_pallas5(
-        keys, data, mesh=mesh, block=BLOCK, slack=SLACK), nbytes)
+        keys, data, mesh=mesh, batch=b, block=BLOCK, slack=SLACK), nbytes)
 
     # Loose throughput floor: the retry-on-nonpositive-slope sampling above
     # means noise alone can't fail this check, so a silent 10x collapse

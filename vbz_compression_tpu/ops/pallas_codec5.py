@@ -53,7 +53,8 @@ from .pallas_codec4 import (
 __all__ = ["encode_w2", "decode_w2", "encode_w2_general",
            "decode_w2_general", "block_offsets_from_keys_flat",
            "encode_w2_rows", "decode_w2_rows",
-           "block_offsets_from_keys_rows"]
+           "encode_w2_rows_flat", "decode_w2_rows_flat",
+           "block_offsets_from_keys_rows", "row_stride"]
 
 AG = 4096                 # i8 DMA offset granularity (1-D i8 ref tiling)
 AG_ROWS = AG // LANES     # 32
@@ -197,30 +198,42 @@ def _ext_bytes(slack: int) -> int:
 
 def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
                            split_meta: bool = False, bpr: int = 0,
-                           stride: int = 0):
+                           stride: int = 0, grid2d: bool = False):
     """``bpr``/``stride``: blocks per row and per-row data-region length
     (bytes, an AG multiple) for BATCHED grids — the grid walks rows
     back-to-back and per-row state (offset, previous sample, carry,
     totals) resets at each row boundary, so one pallas_call encodes a
     whole [B, N] batch (one program, full pipelining — the shard_map
     plane's python-per-row loop serialized on dispatch). ``bpr == 0``
-    means single-row (grid == nblocks)."""
+    means single-row (grid == nblocks). ``grid2d`` lays the batched grid
+    out as (rows, blocks) so the row/block split is two program ids
+    instead of a per-step rem/div scalar chain — the rem/div form
+    measured ~3x slower than the single-row kernel even at B=1 (the
+    round-3 "batched encode gap"; see tools/ab_rows_encode.py)."""
     def _encode_block_kernel(x_ref, keys_ref, data_ref, total_ref, state_ref,
                              carry_ref, stage_ref, sem):
         RV, _ = x_ref.shape
         V = RV * LANES
         ext_rows = _ext_bytes(slack) // LANES
-        k = pl.program_id(0)
-        nblocks = pl.num_programs(0)
-        if bpr:
-            lk = jax.lax.rem(k, bpr)
-            row = jax.lax.div(k, bpr)
+        if bpr and grid2d:
+            row = pl.program_id(0)
+            lk = pl.program_id(1)
+            k = row * bpr + lk
+            nblocks = pl.num_programs(0) * pl.num_programs(1)
             row_last = lk == bpr - 1
             base = row * stride
         else:
-            lk, row = k, 0
-            row_last = k == nblocks - 1
-            base = 0
+            k = pl.program_id(0)
+            nblocks = pl.num_programs(0)
+            if bpr:
+                lk = jax.lax.rem(k, bpr)
+                row = jax.lax.div(k, bpr)
+                row_last = lk == bpr - 1
+                base = row * stride
+            else:
+                lk, row = k, 0
+                row_last = k == nblocks - 1
+                base = 0
 
         @pl.when(lk == 0)
         def _():
@@ -606,18 +619,40 @@ def _row_stride(N: int, block: int, slack: int) -> int:
     return -(-out_len // AG) * AG
 
 
-@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
-def encode_w2_rows(x: jax.Array, block: int = 65536, flavor: str = "zz16",
-                   slack: int = 2048):
-    """Encode a ``[B, N]`` batch in ONE kernel program: the grid walks rows
-    back-to-back with per-row state resets (see ``_encode_kernel_factory``).
-    Returns ``(keys u8 [B, N//4], data i8 [B, stride], data_lens i32 [B],
-    overflow i32 [B])``. Replaces the per-row python loop the sharded plane
-    used — dispatch/serialization there cost ~2x of the per-row kernels'
-    throughput."""
+def row_stride(N: int, block: int, slack: int) -> int:
+    """Public alias: the batched data layout's per-row byte region."""
+    return _row_stride(N, block, slack)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch", "block", "flavor", "slack",
+                                    "grid2d"))
+def encode_w2_rows_flat(x2: jax.Array, batch: int, block: int = 65536,
+                        flavor: str = "zz16", slack: int = 2048,
+                        grid2d: bool = True):
+    """Encode a ``batch``-row batch given FLAT as ``(batch*N//128, 128)``
+    (row-major — exactly the kernel's native layout): one kernel program,
+    the grid walks rows back-to-back with per-row state resets.
+
+    Returns ``(keys u8 (batch*N//512, 128), data i8 (batch*stride,),
+    data_lens i32 [batch], overflow i32 [batch])`` — all in the kernel's
+    own output layouts, NO XLA reshapes anywhere. This is the production
+    entry: the round-3 "batched encode gap" (batched 2-3x slower than
+    per-row calls) was entirely the XLA relayouts around the kernel —
+    [B, N] i16 -> (B*N/128, 128) on the input and the [B, ...] reshapes
+    on the outputs — not the kernel (probed 2026-08-21, ab_rows_encode:
+    per-row 64, rows-from-[B,N] 19-70, rows-flat B=4 121 GB/s within one
+    window). Callers keep the flat layout end to end (NumPy reshapes on
+    the host are free views).
+
+    ``grid2d=True`` uses a (rows, blocks) grid; the flat-grid rem/div
+    form is kept for A/B only."""
     assert flavor in W2_FLAVORS
-    B, N = x.shape
-    assert x.dtype == _INPUT_DTYPE[flavor]
+    R, lanes = x2.shape
+    assert lanes == LANES and x2.dtype == _INPUT_DTYPE[flavor]
+    B = batch
+    assert R % B == 0
+    N = R // B * LANES
     assert N % block == 0 and block % 512 == 0
     assert slack % LANES == 0 and 0 < slack <= block
     d_bits = max(slack.bit_length(), 1)
@@ -625,18 +660,24 @@ def encode_w2_rows(x: jax.Array, block: int = 65536, flavor: str = "zz16",
     nb = N // block
     RV = block // LANES
     stride = _row_stride(N, block, slack)
-
-    x2 = x.reshape(B * N // LANES, LANES)
     KR = RV // 4
+
+    if grid2d:
+        grid = (B, nb)
+        idx = lambda r, j: (r * nb + j, 0)  # noqa: E731
+    else:
+        grid = (B * nb,)
+        idx = lambda i: (i, 0)  # noqa: E731
 
     keys, data_x, totals = pl.pallas_call(
         _encode_kernel_factory(d_bits, flavor, slack,
-                               split_meta=split_meta, bpr=nb, stride=stride),
-        grid=(B * nb,),
-        in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               split_meta=split_meta, bpr=nb, stride=stride,
+                               grid2d=grid2d),
+        grid=grid,
+        in_specs=[pl.BlockSpec((RV, LANES), idx,
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
+            pl.BlockSpec((KR, LANES), idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -655,8 +696,23 @@ def encode_w2_rows(x: jax.Array, block: int = 65536, flavor: str = "zz16",
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(x2)
     t = totals.reshape(B, 2)
-    return (keys.reshape(B, N // 4), data_x.reshape(B, stride),
-            t[:, 0], t[:, 1])
+    return keys, data_x, t[:, 0], t[:, 1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "flavor", "slack", "grid2d"))
+def encode_w2_rows(x: jax.Array, block: int = 65536, flavor: str = "zz16",
+                   slack: int = 2048, grid2d: bool = True):
+    """[B, N]-shaped convenience wrapper around
+    :func:`encode_w2_rows_flat`. The in-jit reshapes here are REAL
+    relayouts on this backend (~2-3x encode cost — see the flat variant's
+    docstring); performance-critical callers use the flat layout."""
+    B, N = x.shape
+    keys, data_x, lens, ovf = encode_w2_rows_flat(
+        x.reshape(B * N // LANES, LANES), B, block=block, flavor=flavor,
+        slack=slack, grid2d=grid2d)
+    stride = _row_stride(N, block, slack)
+    return (keys.reshape(B, N // 4), data_x.reshape(B, stride), lens, ovf)
 
 
 def block_offsets_from_keys_rows(keys: jax.Array, block: int,
@@ -675,31 +731,51 @@ def block_offsets_from_keys_rows(keys: jax.Array, block: int,
     return offs.reshape(-1).astype(jnp.int32)
 
 
+def _block_offsets_from_keys2_flat(keys2: jax.Array, batch: int, block: int,
+                                   stride: int) -> jax.Array:
+    """Per-block data offsets from the FLAT (batch*N//512, 128) u8 key
+    layout (no [B, N//4] relayout): lane-reduce the per-byte extras, then
+    tiny (B, nb) shaping only."""
+    kb = keys2.astype(jnp.int32)
+    extra = (((kb & 3) != 0).astype(jnp.int32)
+             + (((kb >> 2) & 3) != 0).astype(jnp.int32)
+             + (((kb >> 4) & 3) != 0).astype(jnp.int32)
+             + (((kb >> 6) & 3) != 0).astype(jnp.int32))
+    per_keyrow = extra.sum(axis=1)                      # (B * N // 512,)
+    bsum = block + per_keyrow.reshape(batch, -1, block // 512).sum(axis=2)
+    offs = jnp.cumsum(bsum, axis=1) - bsum
+    offs = offs + stride * jnp.arange(batch, dtype=jnp.int32)[:, None]
+    return offs.reshape(-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("block", "flavor", "slack",
+                   static_argnames=("batch", "block", "flavor", "slack",
                                     "sparse_max"))
-def decode_w2_rows(keys: jax.Array, data_expanded: jax.Array,
-                   block: int = 65536, flavor: str = "zz16",
-                   slack: int = 2048,
-                   sparse_max: int = SPARSE_REPLAY_MAX):
-    """Inverse of :func:`encode_w2_rows`: ``keys [B, N//4]`` u8 and
-    ``data_expanded [B, stride]`` i8 (stride = the batched layout's
-    per-row region, ``_row_stride``); returns ``[B, N]``."""
+def decode_w2_rows_flat(keys2: jax.Array, data_expanded: jax.Array,
+                        batch: int, block: int = 65536,
+                        flavor: str = "zz16", slack: int = 2048,
+                        sparse_max: int = SPARSE_REPLAY_MAX):
+    """Inverse of :func:`encode_w2_rows_flat`: ``keys2 (batch*N//512,
+    128)`` u8 and ``data_expanded (batch*stride,)`` i8, both in the
+    kernels' native layouts; returns ``(batch*N//128, 128)``. Like the
+    encode side, this avoids every [B, ...] relayout (host NumPy reshapes
+    are free)."""
     assert flavor in W2_FLAVORS
-    B, NK = keys.shape
-    N = NK * 4
+    B = batch
+    KRALL, lanes = keys2.shape
+    assert lanes == LANES and KRALL % B == 0
+    N = KRALL // B * 512
     assert N % block == 0 and block % 512 == 0
     assert slack % LANES == 0 and 0 < slack <= block
     d_bits = max(slack.bit_length(), 1)
     nb = N // block
     RV = block // LANES
     stride = _row_stride(N, block, slack)
-    assert data_expanded.shape == (B, stride), \
-        f"want data [B, {stride}], got {data_expanded.shape}"
+    assert data_expanded.shape == (B * stride,), \
+        f"want data ({B * stride},), got {data_expanded.shape}"
 
-    boffs = block_offsets_from_keys_rows(keys, block, stride)
+    boffs = _block_offsets_from_keys2_flat(keys2, B, block, stride)
     data2 = data_expanded.astype(jnp.int8).reshape(-1, LANES)
-    keys2 = keys.reshape(B * N // 512, LANES)
     KR = RV // 4
 
     out = pl.pallas_call(
@@ -727,4 +803,23 @@ def decode_w2_rows(keys: jax.Array, data_expanded: jax.Array,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(keys2, boffs, data2)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "flavor", "slack",
+                                    "sparse_max"))
+def decode_w2_rows(keys: jax.Array, data_expanded: jax.Array,
+                   block: int = 65536, flavor: str = "zz16",
+                   slack: int = 2048,
+                   sparse_max: int = SPARSE_REPLAY_MAX):
+    """[B, ...]-shaped convenience wrapper around
+    :func:`decode_w2_rows_flat` (in-jit relayouts — see the flat
+    variant's docstring); returns ``[B, N]``."""
+    B, NK = keys.shape
+    N = NK * 4
+    out = decode_w2_rows_flat(
+        keys.reshape(B * N // 512, LANES),
+        data_expanded.astype(jnp.int8).reshape(-1), B, block=block,
+        flavor=flavor, slack=slack, sparse_max=sparse_max)
     return out.reshape(B, N)

@@ -167,14 +167,17 @@ def compress_signals(signals: list[np.ndarray],
             # Edge padding → pad deltas are 0 → code-0 key bits, which the
             # wire-format trim in _assemble_svb relies on.
             batch, _lens = sharded.pad_chunks(chunks, pad_to=b, mode="edge")
+            Bb = batch.shape[0]
             with ctx():
                 keys, data, _dlens, _total, ovf = \
                     sharded.batch_encode_sharded_pallas5(
-                        sharded.shard_batch(bmesh, batch), mesh=bmesh,
-                        block=blk, slack=slack)
+                        sharded.shard_batch(
+                            bmesh, sharded.flatten_rows(batch)),
+                        mesh=bmesh, batch=Bb, block=blk, slack=slack)
             ovf_np = np.asarray(ovf)
-            keys_np = np.asarray(keys)
-            data_np = np.asarray(data)
+            # Kernel-native flat outputs -> per-row views (free on host).
+            keys_np = np.asarray(keys).reshape(Bb, b // 4)
+            data_np = np.asarray(data).reshape(Bb, -1)
             svbs = []
             for row, i in enumerate(batch_idx[: len(idxs)]):
                 if ovf_np[row]:

@@ -110,28 +110,38 @@ def batch_decode_sharded(streams: jax.Array, lengths: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "block", "flavor", "slack"))
-def batch_encode_sharded_pallas5(x: jax.Array, *, mesh: Mesh,
+                   static_argnames=("mesh", "batch", "block", "flavor",
+                                    "slack"))
+def batch_encode_sharded_pallas5(x2: jax.Array, *, mesh: Mesh, batch: int,
                                  block: int = 32768, flavor: str = "zz16",
                                  slack: int = 2048):
     """codec5 data plane over the mesh: each device encodes its local rows
-    in ONE batched-grid kernel program (``encode_w2_rows`` — the grid walks
-    rows back-to-back with per-row state resets; the previous per-row
-    python loop serialized on dispatch inside shard_map and cost ~2x).
+    in ONE batched-grid kernel program (``encode_w2_rows_flat`` — the grid
+    walks rows back-to-back with per-row state resets).
 
-    Returns ``(keys u8 [B, N//4] sharded, data i8 [B, STRIDE] sharded,
-    data_lens [B] replicated, total_bytes scalar, overflow i32 [B]
-    replicated)``. Rows that exceed the compact slack budget have a nonzero
-    overflow flag — re-encode exactly those rows through the general
-    kernels (the multihost corpus driver does this).
+    Everything speaks the kernels' FLAT layouts: ``x2`` is the
+    ``(batch * N // 128, 128)`` int16 batch (row-major — a free NumPy
+    reshape of [batch, N] on the host; see :func:`flatten_rows`), sharded
+    on axis 0. [B, N]-shaped device arrays forced XLA relayouts around
+    every kernel call, which was the whole round-3 "batched encode gap"
+    (2-3x; tools/ab_rows_encode.py).
+
+    Returns ``(keys u8 (batch*N//512, 128) sharded, data i8
+    (batch*stride,) sharded, data_lens [batch] replicated, total_bytes
+    scalar, overflow i32 [batch] replicated)``. Rows that exceed the
+    compact slack budget have a nonzero overflow flag — re-encode exactly
+    those rows through the general kernels (the multihost corpus driver
+    does this).
     """
     from ..ops import pallas_codec5 as pc5
 
     axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    assert batch % ndev == 0, (batch, ndev)
 
     def local(xs):
-        keys, data, lens, ovf = pc5.encode_w2_rows(
-            xs, block=block, flavor=flavor, slack=slack)
+        keys, data, lens, ovf = pc5.encode_w2_rows_flat(
+            xs, batch // ndev, block=block, flavor=flavor, slack=slack)
         gathered = jax.lax.all_gather(lens, axis, tiled=True)
         total = jax.lax.psum(
             jnp.sum(lens) + jnp.int32(keys.shape[0] * keys.shape[1]),
@@ -144,30 +154,35 @@ def batch_encode_sharded_pallas5(x: jax.Array, *, mesh: Mesh,
         in_specs=(P(axis),),
         out_specs=(P(axis), P(axis), P(), P(), P()),
         check_vma=False,
-    )(x)
+    )(x2)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "block", "flavor", "slack"))
-def batch_decode_sharded_pallas5(keys: jax.Array, data: jax.Array, *,
-                                 mesh: Mesh, block: int = 32768,
-                                 flavor: str = "zz16", slack: int = 2048):
+                   static_argnames=("mesh", "batch", "block", "flavor",
+                                    "slack"))
+def batch_decode_sharded_pallas5(keys2: jax.Array, data: jax.Array, *,
+                                 mesh: Mesh, batch: int,
+                                 block: int = 32768, flavor: str = "zz16",
+                                 slack: int = 2048):
     """Inverse of :func:`batch_encode_sharded_pallas5` (caller must have
-    checked the overflow count was 0)."""
+    checked the overflow flags were 0); flat layouts throughout — returns
+    the decoded batch as ``(batch * N // 128, 128)`` sharded on axis 0."""
     from ..ops import pallas_codec5 as pc5
 
     axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    assert batch % ndev == 0, (batch, ndev)
 
     def local(ks, ds):
-        return pc5.decode_w2_rows(ks, ds, block=block, flavor=flavor,
-                                  slack=slack)
+        return pc5.decode_w2_rows_flat(ks, ds, batch // ndev, block=block,
+                                       flavor=flavor, slack=slack)
 
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(axis),
         check_vma=False,
-    )(keys, data)
+    )(keys2, data)
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +195,14 @@ def shard_batch(mesh: Mesh, arr: np.ndarray) -> jax.Array:
     axis = mesh.axis_names[0]
     sharding = NamedSharding(mesh, P(axis))
     return jax.device_put(arr, sharding)
+
+
+def flatten_rows(batch: np.ndarray) -> np.ndarray:
+    """[B, N] host batch -> the Pallas kernels' native (B*N//128, 128)
+    layout (a free row-major view on the host; doing this reshape on
+    DEVICE is a 2-3x relayout — see batch_encode_sharded_pallas5)."""
+    B, N = batch.shape
+    return batch.reshape(B * N // 128, 128)
 
 
 def pad_chunks(chunks: list[np.ndarray], pad_to: int | None = None,

@@ -99,7 +99,10 @@ def measure_copy_gbps(mib: int = 256, rows: int = 8192,
         _fence(last)
         return time.perf_counter() - t0
 
-    r_lo, r_hi = 22, 44
-    samples = sorted((run(r_hi) - run(r_lo)) / (r_hi - r_lo)
-                     for _ in range(slopes))
+    # Delta of 200 passes = ~150 ms of differenced device time at the
+    # ~700 GB/s this measures — comfortably above fence-RPC variance.
+    r_lo, r_hi = 22, 222
+    samples = sorted(s for s in ((run(r_hi) - run(r_lo)) / (r_hi - r_lo)
+                                 for _ in range(slopes)) if s > 0)
+    assert len(samples) >= 2, "chip window too noisy for a copy slope"
     return 2 * n * 4 / max(samples[1], 1e-9) / 1e9
