@@ -207,9 +207,11 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
     plane's python-per-row loop serialized on dispatch). ``bpr == 0``
     means single-row (grid == nblocks). ``grid2d`` lays the batched grid
     out as (rows, blocks) so the row/block split is two program ids
-    instead of a per-step rem/div scalar chain — the rem/div form
-    measured ~3x slower than the single-row kernel even at B=1 (the
-    round-3 "batched encode gap"; see tools/ab_rows_encode.py)."""
+    instead of a per-step rem/div scalar chain. Probed 2026-08-21
+    (tools/ab_rows_encode.py): the 2D grid is ~2x SLOWER than the flat
+    rem/div grid — Mosaic pipelines a 1-D grid better — so grid2d stays
+    False; the round-3 "batched encode gap" was the XLA relayouts around
+    the kernel, not this indexing."""
     def _encode_block_kernel(x_ref, keys_ref, data_ref, total_ref, state_ref,
                              carry_ref, stage_ref, sem):
         RV, _ = x_ref.shape
@@ -629,7 +631,7 @@ def row_stride(N: int, block: int, slack: int) -> int:
                                     "grid2d"))
 def encode_w2_rows_flat(x2: jax.Array, batch: int, block: int = 65536,
                         flavor: str = "zz16", slack: int = 2048,
-                        grid2d: bool = True):
+                        grid2d: bool = False):
     """Encode a ``batch``-row batch given FLAT as ``(batch*N//128, 128)``
     (row-major — exactly the kernel's native layout): one kernel program,
     the grid walks rows back-to-back with per-row state resets.
@@ -645,8 +647,8 @@ def encode_w2_rows_flat(x2: jax.Array, batch: int, block: int = 65536,
     window). Callers keep the flat layout end to end (NumPy reshapes on
     the host are free views).
 
-    ``grid2d=True`` uses a (rows, blocks) grid; the flat-grid rem/div
-    form is kept for A/B only."""
+    ``grid2d=True`` uses a (rows, blocks) grid — measured ~2x slower
+    than the flat rem/div grid, kept for A/B only."""
     assert flavor in W2_FLAVORS
     R, lanes = x2.shape
     assert lanes == LANES and x2.dtype == _INPUT_DTYPE[flavor]
@@ -702,7 +704,7 @@ def encode_w2_rows_flat(x2: jax.Array, batch: int, block: int = 65536,
 @functools.partial(jax.jit,
                    static_argnames=("block", "flavor", "slack", "grid2d"))
 def encode_w2_rows(x: jax.Array, block: int = 65536, flavor: str = "zz16",
-                   slack: int = 2048, grid2d: bool = True):
+                   slack: int = 2048, grid2d: bool = False):
     """[B, N]-shaped convenience wrapper around
     :func:`encode_w2_rows_flat`. The in-jit reshapes here are REAL
     relayouts on this backend (~2-3x encode cost — see the flat variant's
