@@ -472,4 +472,179 @@ vbz_size_t vbz_decompress_sized(const void* source, vbz_size_t source_size,
                           options);
 }
 
+// ---------------------------------------------------------------------------
+// LZ77 greedy matcher for the from-scratch zstd encoder (zstd_seq.py).
+// Exact native counterpart of build_match_index + find_sequences: 17-bit
+// Fibonacci hash of every little-endian 4-byte window, single-probe
+// last-previous-occurrence chain, greedy scan with verified candidates.
+// The Python lexsort index was 61% of the encoder's time (ROADMAP "Entropy
+// stage"); these run the same semantics at C speed so the produced frames
+// are byte-identical.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t lz_load32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;  // little-endian hosts only (x86) — matches the NumPy v4
+}
+
+// prev[i] = most recent j < i with the same 17-bit hash, else -1;
+// fills n - 3 entries (one per 4-byte window). Returns the entry count.
+int64_t vbz_lz_match_index(const uint8_t* buf, int64_t n, int32_t* prev) {
+    if (n < 4) return 0;
+    const int64_t m = n - 3;
+    const int hash_bits = 17;
+    std::vector<int32_t> table(static_cast<size_t>(1) << hash_bits, -1);
+    for (int64_t i = 0; i < m; ++i) {
+        uint32_t h = (lz_load32(buf + i) * 2654435761u) >> (32 - hash_bits);
+        prev[i] = table[h];
+        table[h] = static_cast<int32_t>(i);
+    }
+    return m;
+}
+
+// Greedy sequence scan over [bstart, bend): for each verified candidate
+// (prev[i] >= 0 and equal 4-byte windows) emit (lit_len, offset,
+// match_len) and jump past the match. Returns the number of sequences
+// written (each 3 consecutive int32s in seqs); seqs must hold
+// 3 * ((bend - bstart) / 4 + 1) entries.
+// Backward-read bitstream writer (zstd Huffman / FSE convention): values
+// pushed LSB-first in forward order, closed with one 1 sentinel bit,
+// padded to a byte. Counterpart of zstd_huff.pack_bits_backward /
+// fse.BitWriter — the Python encoder's two hot packing loops.
+namespace {
+struct BitPush {
+    uint8_t* out;
+    int64_t cap;
+    int64_t nbytes = 0;
+    uint64_t acc = 0;
+    int used = 0;
+    bool ok = true;
+    void push(uint64_t value, int nbits) {
+        if (!nbits) return;
+        acc |= (value & ((nbits >= 64 ? ~0ull : (1ull << nbits) - 1)))
+               << used;
+        used += nbits;
+        while (used >= 8) {
+            if (nbytes >= cap) { ok = false; return; }
+            out[nbytes++] = static_cast<uint8_t>(acc);
+            acc >>= 8;
+            used -= 8;
+        }
+    }
+    int64_t close() {
+        push(1, 1);  // sentinel
+        if (used) {
+            if (nbytes >= cap) return -1;
+            out[nbytes++] = static_cast<uint8_t>(acc);
+            acc = 0;
+            used = 0;
+        }
+        return ok ? nbytes : -1;
+    }
+};
+}  // namespace
+
+// Pack `n` Huffman codes (values < 2^16, lengths <= 16) in REVERSE input
+// order, sentinel-closed. Returns bytes written, -1 on overflow.
+int64_t vbz_bits_pack_backward(const uint16_t* codes, const uint8_t* nbits,
+                               int64_t n, uint8_t* out, int64_t cap) {
+    BitPush bw{out, cap};
+    for (int64_t i = n - 1; i >= 0; --i) bw.push(codes[i], nbits[i]);
+    return bw.close();
+}
+
+// One FSE channel's encode tables (fse.CTable, int32-narrowed).
+struct vbz_fse_ctable {
+    const int32_t* state_table;      // size 1 << accuracy_log
+    const int32_t* delta_nb_bits;    // per symbol
+    const int32_t* delta_find_state; // per symbol
+    int32_t accuracy_log;
+};
+
+namespace {
+struct FseState {
+    const vbz_fse_ctable* ct;
+    int32_t state = 0;
+    void init(int32_t sym) {
+        int32_t dnb = ct->delta_nb_bits[sym];
+        int32_t nbits = (dnb + (1 << 15)) >> 16;
+        int32_t sub = (nbits << 16) - dnb;
+        state = ct->state_table[(sub >> nbits) + ct->delta_find_state[sym]];
+    }
+    void encode(int32_t sym, BitPush& bw) {
+        int32_t nbits = (state + ct->delta_nb_bits[sym]) >> 16;
+        bw.push(static_cast<uint32_t>(state), nbits);
+        state = ct->state_table[(state >> nbits)
+                                + ct->delta_find_state[sym]];
+    }
+    void flush(BitPush& bw) {
+        bw.push(static_cast<uint32_t>(state), ct->accuracy_log);
+    }
+};
+}  // namespace
+
+// The interleaved sequences bitstream (zstd_seq.encode_sequences' tail):
+// libzstd ZSTD_encodeSequences order — init states on the LAST sequence
+// (ML, OF, LL), push its extras (LL, ML, OF), walk backwards encoding
+// (OF, ML, LL states then LL, ML, OF extras), flush ML, OF, LL.
+// Channel tables may be NULL (Predefined-with-RLE / absent channel —
+// matches the Python `if xx_st:` guards). Returns bytes written.
+int64_t vbz_zstd_seq_bitstream(
+    int64_t n,
+    const int32_t* llc, const int32_t* ll_extra, const int32_t* ll_bits,
+    const int32_t* ofc, const int32_t* of_extra, const int32_t* of_bits,
+    const int32_t* mlc, const int32_t* ml_extra, const int32_t* ml_bits,
+    const vbz_fse_ctable* ll_ct, const vbz_fse_ctable* of_ct,
+    const vbz_fse_ctable* ml_ct, uint8_t* out, int64_t cap) {
+    if (n <= 0) return 0;
+    BitPush bw{out, cap};
+    FseState ll{ll_ct}, of{of_ct}, ml{ml_ct};
+    if (ml_ct) ml.init(mlc[n - 1]);
+    if (of_ct) of.init(ofc[n - 1]);
+    if (ll_ct) ll.init(llc[n - 1]);
+    bw.push(static_cast<uint32_t>(ll_extra[n - 1]), ll_bits[n - 1]);
+    bw.push(static_cast<uint32_t>(ml_extra[n - 1]), ml_bits[n - 1]);
+    bw.push(static_cast<uint32_t>(of_extra[n - 1]), of_bits[n - 1]);
+    for (int64_t i = n - 2; i >= 0; --i) {
+        if (of_ct) of.encode(ofc[i], bw);
+        if (ml_ct) ml.encode(mlc[i], bw);
+        if (ll_ct) ll.encode(llc[i], bw);
+        bw.push(static_cast<uint32_t>(ll_extra[i]), ll_bits[i]);
+        bw.push(static_cast<uint32_t>(ml_extra[i]), ml_bits[i]);
+        bw.push(static_cast<uint32_t>(of_extra[i]), of_bits[i]);
+    }
+    if (ml_ct) ml.flush(bw);
+    if (of_ct) of.flush(bw);
+    if (ll_ct) ll.flush(bw);
+    return bw.close();
+}
+
+int64_t vbz_lz_sequences(const uint8_t* buf, int64_t n, int64_t bstart,
+                         int64_t bend, const int32_t* prev, int32_t* seqs) {
+    if (n < 4) return 0;
+    const int64_t m = n - 3;
+    int64_t hi = bend - 4 < m - 1 ? bend - 4 : m - 1;  // min(bend-4, m-1)
+    int64_t count = 0, anchor = bstart;
+    for (int64_t i = bstart; i <= hi;) {
+        int32_t c = prev[i];
+        if (c < 0 || lz_load32(buf + c) != lz_load32(buf + i)) {
+            ++i;
+            continue;
+        }
+        // Common prefix beyond the verified 4 bytes, capped like the
+        // Python scan: min(bend - i, 131074).
+        int64_t limit = bend - i < 131074 ? bend - i : 131074;
+        int64_t ml = 4;
+        while (ml < limit && buf[c + ml] == buf[i + ml]) ++ml;
+        seqs[3 * count] = static_cast<int32_t>(i - anchor);
+        seqs[3 * count + 1] = static_cast<int32_t>(i - c);
+        seqs[3 * count + 2] = static_cast<int32_t>(ml);
+        ++count;
+        i += ml;
+        anchor = i;
+    }
+    return count;
+}
+
 }  // extern "C"

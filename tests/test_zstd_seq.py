@@ -77,7 +77,7 @@ def test_match_finder_properties():
     buf = np.concatenate([base, base[:2000], base[1000:3000]])
     prev, v4 = zstd_seq.build_match_index(buf)
     seqs, literals = zstd_seq.find_sequences(buf, 0, buf.size, prev, v4)
-    assert seqs, "repetitive buffer must produce matches"
+    assert len(seqs), "repetitive buffer must produce matches"
     # Executing the sequences reproduces the buffer.
     out = bytearray()
     lp = 0
@@ -155,3 +155,34 @@ def test_api_own_encoder_pipeline(monkeypatch):
     np.testing.assert_array_equal(np.frombuffer(out, np.int16), sig)
     # stays in the same size ballpark as libzstd level 1
     assert len(own) <= int(len(libz) * 1.2)
+
+
+# ---------------------------------------------------------------------------
+# Native accelerators (vbz_native.cpp: matcher + bitstream packers)
+# ---------------------------------------------------------------------------
+
+
+def test_native_encoder_parity():
+    """The native LZ matcher / FSE seq bitstream / Huffman bit packer must
+    produce byte-identical frames to the pure-NumPy paths (they are the
+    same algorithms at C speed)."""
+    import unittest.mock as mock
+
+    from vbz_compression_tpu.ops import zstd_huff
+
+    if zstd_seq._native_lz() is None:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(9)
+    cases = [
+        scalar.svb_compress(np.clip(500 + np.cumsum(
+            rng.normal(0, 12, 200_000)), -2000, 2000).astype(np.int16),
+            2, True, 0),
+        b"abcabcabcabc" * 400,
+        rng.integers(0, 256, 3000).astype(np.uint8).tobytes() * 3,
+    ]
+    for data in cases:
+        f_native = zstd_seq.compress_frame(data)
+        with mock.patch.object(zstd_seq, "_native_lz", lambda: None), \
+                mock.patch.object(zstd_huff, "_native_bits", lambda: None):
+            f_numpy = zstd_seq.compress_frame(data)
+        assert f_native == f_numpy

@@ -26,6 +26,17 @@ _LIB_PATHS = [
 ]
 
 
+class _CFseTable(ctypes.Structure):
+    """vbz_fse_ctable (vbz_native.cpp): one FSE channel's encode tables."""
+
+    _fields_ = [
+        ("state_table", ctypes.c_void_p),
+        ("delta_nb_bits", ctypes.c_void_p),
+        ("delta_find_state", ctypes.c_void_p),
+        ("accuracy_log", ctypes.c_int32),
+    ]
+
+
 class _COptions(ctypes.Structure):
     _fields_ = [
         ("perform_delta_zig_zag", ctypes.c_bool),
@@ -60,6 +71,23 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = u32
         fn.argtypes = args
+    # From-scratch zstd encoder accelerators (LZ77 matcher + bitstream
+    # packers, zstd_seq.py / zstd_huff.py); absent in older builds —
+    # callers probe with hasattr.
+    i64 = ctypes.c_int64
+    ctp = ctypes.POINTER(_CFseTable)
+    for name, args in [
+        ("vbz_lz_match_index", [vp, i64, vp]),
+        ("vbz_lz_sequences", [vp, i64, i64, i64, vp, vp]),
+        ("vbz_bits_pack_backward", [vp, vp, i64, vp, i64]),
+        ("vbz_zstd_seq_bitstream",
+         [i64, vp, vp, vp, vp, vp, vp, vp, vp, vp, ctp, ctp, ctp, vp,
+          i64]),
+    ]:
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.restype = i64
+            fn.argtypes = args
     return lib
 
 

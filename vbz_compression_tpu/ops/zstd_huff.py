@@ -145,9 +145,34 @@ def _check_implied_weight(weights: np.ndarray, max_bits: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _native_bits():
+    """The native bit packer (vbz_native.cpp) when the lib is built."""
+    try:
+        from .. import native_backend as nb
+
+        lib = nb.lib()
+        return lib if hasattr(lib, "vbz_bits_pack_backward") else None
+    except Exception:
+        return None
+
+
 def pack_bits_backward(codes: np.ndarray, nbits: np.ndarray) -> bytes:
     """zstd Huffman stream: symbols pushed LSB-first in *reverse* input
     order, closed with a single 1 sentinel bit, padded to a byte."""
+    lib = _native_bits()
+    if lib is not None and codes.size:
+        import ctypes
+
+        c = np.ascontiguousarray(codes.astype(np.uint16, copy=False))
+        b = np.ascontiguousarray(nbits.astype(np.uint8, copy=False))
+        cap = int(b.astype(np.int64).sum()) // 8 + 16
+        out = np.empty(cap, np.uint8)
+        m = int(lib.vbz_bits_pack_backward(
+            c.ctypes.data_as(ctypes.c_void_p),
+            b.ctypes.data_as(ctypes.c_void_p), c.size,
+            out.ctypes.data_as(ctypes.c_void_p), cap))
+        assert m > 0, "bit packer overflow"
+        return out[:m].tobytes()
     codes = codes[::-1].astype(np.uint64)
     nb = nbits[::-1].astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(nb)])

@@ -62,6 +62,19 @@ MIN_MATCH = 4
 HASH_BITS = 17
 
 
+def _native_lz():
+    """The native matcher (vbz_native.cpp vbz_lz_*) when the lib is built;
+    None otherwise. Same hash/chain/greedy semantics at C speed — the
+    NumPy lexsort index alone was 61% of the encoder's time."""
+    try:
+        from .. import native_backend as nb
+
+        lib = nb.lib()
+        return lib if hasattr(lib, "vbz_lz_match_index") else None
+    except Exception:
+        return None
+
+
 def build_match_index(buf: np.ndarray):
     """For every position i: the most recent previous position with the same
     4-byte hash (-1 if none), plus the 4-byte window values for verification.
@@ -69,6 +82,19 @@ def build_match_index(buf: np.ndarray):
     n = buf.size
     if n < MIN_MATCH:
         return np.zeros(0, np.int64), np.zeros(0, np.uint32)
+    lib = _native_lz()
+    if lib is not None:
+        import ctypes
+
+        src = np.ascontiguousarray(buf)
+        prev32 = np.empty(n - 3, np.int32)
+        m = lib.vbz_lz_match_index(
+            src.ctypes.data_as(ctypes.c_void_p), n,
+            prev32.ctypes.data_as(ctypes.c_void_p))
+        assert m == n - 3
+        # The native greedy scan re-verifies windows from buf itself; v4
+        # is only needed by the NumPy scan path, so don't build it.
+        return prev32, None
     b = buf.astype(np.uint32)
     v4 = b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
     h = ((v4 * np.uint32(2654435761)) >> np.uint32(32 - HASH_BITS))
@@ -101,6 +127,31 @@ def find_sequences(buf: np.ndarray, bstart: int, bend: int,
     concatenated literal bytes (incl. the trailing run)."""
     if prev.size == 0:
         return [], buf[bstart:bend]
+    lib = _native_lz()
+    if lib is not None:
+        import ctypes
+
+        src = np.ascontiguousarray(buf)
+        prev32 = np.ascontiguousarray(prev.astype(np.int32, copy=False))
+        cap = (bend - bstart) // MIN_MATCH + 1
+        tri = np.empty(3 * cap, np.int32)
+        cnt = int(lib.vbz_lz_sequences(
+            src.ctypes.data_as(ctypes.c_void_p), buf.size, bstart, bend,
+            prev32.ctypes.data_as(ctypes.c_void_p),
+            tri.ctypes.data_as(ctypes.c_void_p)))
+        tri = tri[:3 * cnt].reshape(-1, 3)
+        if cnt == 0:
+            return tri, buf[bstart:bend]
+        # Vectorized literal gather: seq k's literals span
+        # [start_k, start_k + ll_k) with start_k = bstart + cum(ll+ml).
+        ll = tri[:, 0].astype(np.int64)
+        ml = tri[:, 2].astype(np.int64)
+        adv = np.cumsum(ll + ml)
+        starts = bstart + np.concatenate([[0], adv[:-1]])
+        pre_ll = np.concatenate([[0], np.cumsum(ll)[:-1]])
+        idx = np.repeat(starts - pre_ll, ll) + np.arange(int(ll.sum()))
+        lits = np.concatenate([buf[idx], buf[bstart + int(adv[-1]):bend]])
+        return tri, lits
     hi = min(bend - MIN_MATCH, prev.size - 1)
     cand = np.nonzero((prev[bstart:hi + 1] >= 0)
                       & (v4[np.maximum(prev[bstart:hi + 1], 0)]
@@ -128,6 +179,55 @@ def find_sequences(buf: np.ndarray, bstart: int, bend: int,
 # ---------------------------------------------------------------------------
 # Sequences section encoding
 # ---------------------------------------------------------------------------
+
+
+def _ctable_c(ct):
+    """ctypes view of an fse.CTable (int32-narrowed arrays cached on the
+    table object — they must stay alive for the call's duration)."""
+    import ctypes
+
+    from .. import native_backend as nb
+
+    if ct is None:
+        return None, None
+    c32 = getattr(ct, "_c32", None)
+    if c32 is None:
+        c32 = (np.ascontiguousarray(ct.state_table.astype(np.int32)),
+               np.ascontiguousarray(ct.delta_nb_bits.astype(np.int32)),
+               np.ascontiguousarray(ct.delta_find_state.astype(np.int32)))
+        ct._c32 = c32
+    st, dnb, dfs = c32
+    rec = nb._CFseTable(
+        st.ctypes.data_as(ctypes.c_void_p).value,
+        dnb.ctypes.data_as(ctypes.c_void_p).value,
+        dfs.ctypes.data_as(ctypes.c_void_p).value,
+        int(ct.accuracy_log))
+    return ctypes.pointer(rec), rec
+
+
+def _seq_bitstream_native(lib, n, llc, ll_extra, ll_bits, ofc, of_extra,
+                          of_bits, mlc, ml_extra, ml_bits, ll_ct, of_ct,
+                          ml_ct) -> bytes:
+    """The interleaved FSE bitstream via vbz_zstd_seq_bitstream (identical
+    bytes to the Python BitWriter walk — asserted by the parity tests)."""
+    import ctypes
+
+    def c32(a):
+        return np.ascontiguousarray(a.astype(np.int32, copy=False))
+
+    arrs = [c32(a) for a in (llc, ll_extra, ll_bits, ofc, of_extra,
+                             of_bits, mlc, ml_extra, ml_bits)]
+    # Per-seq worst case: 3 state pushes (<= 9 bits each) + extras
+    # (<= 16 + 16 + 31 bits) < 12 bytes, plus flush/sentinel slack.
+    cap = 12 * n + 16
+    outb = np.empty(cap, np.uint8)
+    ptrs = [_ctable_c(ct) for ct in (ll_ct, of_ct, ml_ct)]
+    m = int(lib.vbz_zstd_seq_bitstream(
+        n, *[a.ctypes.data_as(ctypes.c_void_p) for a in arrs],
+        ptrs[0][0], ptrs[1][0], ptrs[2][0],
+        outb.ctypes.data_as(ctypes.c_void_p), cap))
+    assert m > 0, "sequence bitstream overflow"
+    return outb[:m].tobytes()
 
 
 def _nb_seq_header(n: int) -> bytes:
@@ -171,15 +271,21 @@ def encode_sequences(seqs) -> bytes:
     n = len(seqs)
     if n == 0:
         return b"\x00"
-    ll = np.array([s[0] for s in seqs], dtype=np.int64)
-    of = np.array([s[1] for s in seqs], dtype=np.int64)
-    ml = np.array([s[2] for s in seqs], dtype=np.int64)
+    if isinstance(seqs, np.ndarray):
+        ll = seqs[:, 0].astype(np.int64)
+        of = seqs[:, 1].astype(np.int64)
+        ml = seqs[:, 2].astype(np.int64)
+    else:
+        ll = np.array([s[0] for s in seqs], dtype=np.int64)
+        of = np.array([s[1] for s in seqs], dtype=np.int64)
+        ml = np.array([s[2] for s in seqs], dtype=np.int64)
     assert (ml >= 3).all() and (of >= 1).all()
 
     llc = _code_of(ll, LL_BASE)
     mlc = _code_of(ml, ML_BASE)
     ofv = of + 3                     # no repeat-offset usage
-    ofc = np.array([int(v).bit_length() - 1 for v in ofv], dtype=np.int64)
+    # bit_length(v) - 1 == frexp exponent - 1 (exact for v < 2^53).
+    ofc = (np.frexp(ofv.astype(np.float64))[1] - 1).astype(np.int64)
 
     ll_extra, ll_bits = ll - LL_BASE[llc], LL_BITS[llc]
     ml_extra, ml_bits = ml - ML_BASE[mlc], ML_BITS[mlc]
@@ -203,6 +309,13 @@ def encode_sequences(seqs) -> bytes:
         out[3] = of_desc
     if ml_mode == 1:
         out[4] = ml_desc
+
+    lib = _native_lz()
+    if lib is not None and hasattr(lib, "vbz_zstd_seq_bitstream"):
+        out.append(_seq_bitstream_native(
+            lib, n, llc, ll_extra, ll_bits, ofc, of_extra, of_bits,
+            mlc, ml_extra, ml_bits, ll_ct, of_ct, ml_ct))
+        return b"".join(out)
 
     bw = fse.BitWriter()
     ll_st = fse.EncState(ll_ct) if ll_ct is not None else None
@@ -249,7 +362,7 @@ def _sequences_block(buf: np.ndarray, bstart: int, bend: int,
     """Compressed_Block content using matches, or None when matches don't
     help this chunk."""
     seqs, lits = find_sequences(buf, bstart, bend, prev, v4)
-    if not seqs:
+    if not len(seqs):
         return None
     lit_sec = zstd_huff.literals_section(lits)
     seq_sec = encode_sequences(seqs)
