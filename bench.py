@@ -66,11 +66,12 @@ def load_signal(path: str) -> np.ndarray:
 
 # clean: nanopore-like sigma=12 walk on [0, 2000] built from pseudo-READS
 # (mirroring the reference perf harness) — read boundaries leave 3-15
-# two-byte deltas per 64K block, so the replay path runs at its gated
-# log2(e_sum) depth on almost every block: the REALISTIC tier. mixed:
-# sigma=50 on +-30000 — ~1% of deltas need a second byte. pure (generated
-# in-process): a boundary-free walk, e_sum == 0 — the whole-block fast
-# path's ceiling.
+# two-byte deltas per 64K block, so the sparse replay runs on almost every
+# block: the REALISTIC tier. mixed: sigma=50 on +-30000 — ~1% of deltas
+# need a second byte (dense-ladder replay). pure (generated in-process):
+# a boundary-free walk, e_sum == 0 — the whole-block fast path's ceiling.
+# hard (in-process): uniform random int16 — fully incompressible, every
+# row overflows the compact budget and rides the general kernels.
 CLEAN_ARGS = ("clean", 32, 12, 0, 2000, 42)
 MIXED_ARGS = ("mixed", 32, 50, -30000, 30000, 7)
 
@@ -169,9 +170,11 @@ def tpu_codec_gbps() -> dict:
         def mismatch(x, o):
             return jnp.sum(jnp.abs(o.astype(jnp.int32) - x.astype(jnp.int32)))
 
+        hard = np.random.default_rng(13).integers(
+            -32768, 32767, (B, N), dtype=np.int16)
         tiers = {}
         for tier, rows in (("clean", sig), ("mixed", mixed),
-                           ("pure", pure)):
+                           ("pure", pure), ("hard", hard)):
             x2 = jax.device_put(jnp.asarray(
                 rows.reshape(B * N // 128, 128)))
             k2, d, _lens, ovf = enc_r(x2)
@@ -436,7 +439,7 @@ def main() -> None:
         "decode_gb_s": round(clean["dec"], 4),
         "baseline_gb_s": round(ref_svb, 4),
     }
-    for extra in ("mixed", "pure"):
+    for extra in ("mixed", "pure", "hard"):
         if extra in tiers:
             line[f"{extra}_gb_s"] = round(tiers[extra]["combined"], 4)
             line[f"{extra}_encode_gb_s"] = round(tiers[extra]["enc"], 4)

@@ -264,6 +264,15 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
         SR = RV + ext_rows
 
         def _routed_bytes(v):
+            # Straight-line stages, NO per-stage dmax conds: probed on chip
+            # 2026-08-21 (tools/ab_gate pattern) — the stage-skipping
+            # branches cost more than the stages they skip (Mosaic
+            # statically allocates every branch's temporaries; same
+            # pathology as the sparse-replay levels). Removing them:
+            # incompressible enc 5.0 -> 10.6, sigma200 15.6 -> 26.3,
+            # mixed 22.6 -> 32.0, pure enc near-roofline; realistic a
+            # wash. The e_sum > 0 trivial-block cond below stays — one
+            # branch, and pure-tier blocks skip the whole network.
             E = _flat_psum_mxu(c) - c
             zpad = jnp.zeros((ext_rows, LANES), jnp.int32)
             if split_meta:
@@ -274,11 +283,11 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
                 meta = jnp.concatenate([(E << 1) | 1, zpad], axis=0)
                 pay = jnp.concatenate([v, zpad], axis=0)
                 _, routed = _route_msb(meta, d_bits, extras=[pay],
-                                       dmax=e_sum, d_shift=1)
+                                       d_shift=1)
             else:
                 chan = jnp.concatenate(
                     [v | (1 << OCC_BIT) | (E << D_SHIFT), zpad], axis=0)
-                (routed,) = _route_msb(chan, d_bits, dmax=e_sum)
+                (routed,) = _route_msb(chan, d_bits)
             return (routed & 0xFF) | \
                 ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
 
@@ -473,21 +482,25 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
         fetched = _flat_dyn_shift_left(fetched, a)
 
         def _replayed(fetched):
+            # Straight-line stages (no per-stage dmax conds) — probed on
+            # chip 2026-08-21: the skip branches' static allocation costs
+            # more than the stages (mixed dec 12.7 -> 17.8 without them);
+            # low-e_sum blocks take the _sparse path anyway.
             w = fetched | ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
             E = _flat_psum_mxu(c) - c
             zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
             chanE = jnp.concatenate([(E << 1) | 1, zeros_rest], axis=0)
             # Forward: land each value's (E, occ) token at its stream slot.
-            chanE = _route_fwd_disp(chanE, d_bits, dmax=e_sum)
+            chanE = _route_fwd_disp(chanE, d_bits)
             # Attach the payload — w is ALREADY stream-indexed (it is the
             # fetched data); hole slots get w with occ=0, which the pull
             # stages never select (their displacement bits read as zero).
             if 1 + d_bits + 16 <= 32 and not _FORCE_SPLIT_REPLAY:
                 chan = chanE | (w << (1 + d_bits))
-                (chan,) = _reverse_pull_fused(chan, d_bits, dmax=e_sum)
+                (chan,) = _reverse_pull_fused(chan, d_bits)
                 w16 = (chan >> (1 + d_bits)) & 0xFFFF
             else:
-                _, w16 = _reverse_pull_fused(chanE, d_bits, dmax=e_sum,
+                _, w16 = _reverse_pull_fused(chanE, d_bits,
                                              extras=[w])
             w16 = w16[:RV]
             return (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
