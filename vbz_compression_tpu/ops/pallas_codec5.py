@@ -468,15 +468,19 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
         def _take(stage, sem):
             pltpu.make_async_copy(
                 data_ref.at[pl.ds(0, FW_ROWS)], stage, sem).wait()
-            # widen the 2-D i8 tile directly (probed fast; the flat-vector
-            # widen lowers poorly and the fused reshape+cast crashes).
-            return stage[:].astype(jnp.int32) & 0xFF
+            return stage[:]
 
+        # Keep the cond's branches i8-only (the raw staged tile) and widen
+        # ONCE outside — branch temporaries are statically allocated, so
+        # this keeps them 4x smaller (measured a wash in one window, kept
+        # for the smaller static footprint). The 2-D i8 tile widens
+        # directly (probed fast; the flat-vector widen lowers poorly and
+        # the fused reshape+cast crashes).
         fetched = jax.lax.cond(
             even,
             lambda: _take(stage_a, sem_a),
             lambda: _take(stage_b, sem_b),
-        )
+        ).astype(jnp.int32) & 0xFF
         ext_rows = _ext_bytes(slack) // LANES
 
         fetched = _flat_dyn_shift_left(fetched, a)
