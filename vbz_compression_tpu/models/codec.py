@@ -135,7 +135,13 @@ def _slice_jit(d, cap):
 
 
 def _pull_prefix(arr, n: int) -> np.ndarray:
-    """Pull the first ``n`` elements of a device array (bucketed cap)."""
+    """Pull the first ``n`` elements of a device array (bucketed cap;
+    2-D (R, 128) kernel-native outputs are sliced by rows and flattened
+    host-side)."""
+    if arr.ndim == 2:
+        cap = -(-n // _MIN_BUCKET) * _MIN_BUCKET
+        rows = min(int(arr.shape[0]), -(-cap // int(arr.shape[1])))
+        return np.asarray(_slice_jit(arr, rows)).reshape(-1)[:n]
     cap = min(int(arr.shape[0]), -(-n // _MIN_BUCKET) * _MIN_BUCKET)
     return np.asarray(_slice_jit(arr, cap))[:n]
 
@@ -221,14 +227,21 @@ class PallasSvbBackend(JaxSvbBackend):
             keys, data_x, _ = pc3.encode_w4(xj, block=block, flavor=flavor)
         elif block >= _PC4_MIN_BLOCK:
             # v5 kernels (alignment-split routing, in-kernel MXU key pack,
-            # int8 data plane) with overflow fallback to codec3 general.
-            # The wire format is block-independent, so codec5 can use larger
-            # blocks than the codec3 fallback's cap.
+            # int8 data plane) with overflow fallback to the general
+            # kernel. The wire format is block-independent, so codec5 can
+            # use larger blocks than the codec3 fallback's cap. The
+            # rows_flat entry (B=1) feeds the kernel its NATIVE (N/128,
+            # 128) layout — the host reshape is a free view, while the
+            # 1-D device input cost an XLA relayout (~52 vs ~70 GB/s
+            # within one window; see ROADMAP round-4 ledger).
             from ..ops import pallas_codec5 as pc5
 
             block5 = min(_PC5_MAX_BLOCK, N)
-            keys, data_x, _, ovf = pc5.encode_w2(
-                xj, block=block5, flavor=flavor, slack=_PC4_SLACK)
+            x2 = jnp.asarray(x.reshape(N // 128, 128))
+            xj = x2  # the general fallback re-encodes from this
+            keys, data_x, _lens, ovf1 = pc5.encode_w2_rows_flat(
+                x2, 1, block=block5, flavor=flavor, slack=_PC4_SLACK)
+            ovf = ovf1[0]
         else:
             keys, data_x, _ = pc3.encode_w2(xj, block=block, flavor=flavor)
         return dict(keys=keys, data=data_x, ovf=ovf, xj=xj, n=n,
@@ -247,12 +260,16 @@ class PallasSvbBackend(JaxSvbBackend):
         if ovf:
             from ..ops import pallas_codec5 as pc5
 
-            block5 = min(_PC5_MAX_BLOCK, int(rec["xj"].shape[0]))
+            N = int(np.prod(rec["xj"].shape))
+            block5 = min(_PC5_MAX_BLOCK, N)
+            # Rare path: flatten the (N/128, 128) staged input back to the
+            # 1-D layout the single-grid general kernel takes.
             keys, data_x, _ = pc5.encode_w2_general(
-                rec["xj"], block=block5, flavor=rec["flavor"])
+                rec["xj"].reshape(-1), block=block5, flavor=rec["flavor"])
         n = rec["n"]
         key_len = (n + 3) // 4
-        keys_np = np.asarray(keys)
+        # reshape(-1): the rows_flat kernel returns keys as (N/512, 128).
+        keys_np = np.asarray(keys).reshape(-1)
         codes = (np.repeat(keys_np[:key_len], 4) >> np.tile(
             np.array([0, 2, 4, 6], np.uint8), key_len)) & 3
         if rec["wide"]:
@@ -354,14 +371,22 @@ class PallasSvbBackend(JaxSvbBackend):
                 from ..ops import pallas_codec5 as pc5
 
                 extra5 = extra_pad.reshape(-1, block5).sum(axis=1)
-                kj = jnp.asarray(keys_pad)
-                dj = jnp.asarray(data_np.astype(np.int8))
-                boffs5 = pc5.block_offsets_from_keys_flat(kj, block5)
                 if extra5.max() <= _PC4_SLACK:
-                    out = pc5.decode_w2(kj, dj, boffs5, block=block5,
-                                        flavor=flavor, slack=_PC4_SLACK)
+                    # rows_flat (B=1): kernel-native layouts in and out —
+                    # the 1-D device arrays cost XLA relayouts (ROADMAP
+                    # round-4 ledger). Host-side padding to the batched
+                    # stride is a cheap copy.
+                    stride = pc5.row_stride(N, block5, _PC4_SLACK)
+                    dpad = np.zeros(stride, np.int8)
+                    dpad[:data_np.size] = data_np.astype(np.int8)
+                    k2 = jnp.asarray(keys_pad.reshape(N // 512, 128))
+                    out = pc5.decode_w2_rows_flat(
+                        k2, jnp.asarray(dpad), 1, block=block5,
+                        flavor=flavor, slack=_PC4_SLACK)
                 else:
                     bg = min(_PC5_MAX_BLOCK, N)
+                    kj = jnp.asarray(keys_pad)
+                    dj = jnp.asarray(data_np.astype(np.int8))
                     out = pc5.decode_w2_general(
                         kj, dj,
                         pc5.block_offsets_from_keys_flat(kj, bg),
