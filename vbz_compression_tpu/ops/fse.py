@@ -151,28 +151,28 @@ class CTable:
         spread = spread_symbols(norm, accuracy_log)
         eff = np.where(norm == -1, 1, norm).astype(np.int64)
         cumul = np.concatenate([[0], np.cumsum(eff)])
+        # Vectorized fill: destinations cumul[s] + rank-within-symbol cover
+        # [cumul[s], cumul[s+1]) per symbol, so the stable sort of spread
+        # by symbol maps onto destinations 0..table_size-1 sequentially.
+        order = np.argsort(spread, kind="stable")
         self.state_table = np.zeros(table_size, dtype=np.int64)
-        fill = cumul[:-1].copy()
-        for u in range(table_size):
-            s = spread[u]
-            self.state_table[fill[s]] = table_size + u
-            fill[s] += 1
+        self.state_table[:] = table_size + order
         nsym = norm.shape[0]
-        self.delta_nb_bits = np.zeros(nsym, dtype=np.int64)
-        self.delta_find_state = np.zeros(nsym, dtype=np.int64)
-        for s in range(nsym):
-            c = int(eff[s])
-            if c == 0:
-                continue
-            if int(norm[s]) == -1 or c == 1:
-                self.delta_nb_bits[s] = (accuracy_log << 16) - \
-                    (1 << accuracy_log)
-                self.delta_find_state[s] = int(cumul[s]) - 1
-            else:
-                max_bits_out = accuracy_log - highbit(c - 1)
-                min_state_plus = c << max_bits_out
-                self.delta_nb_bits[s] = (max_bits_out << 16) - min_state_plus
-                self.delta_find_state[s] = int(cumul[s]) - c
+        c = eff
+        single = (norm == -1) | (c == 1)
+        present = c > 0
+        with np.errstate(divide="ignore"):
+            hb = np.zeros(nsym, dtype=np.int64)
+            nzm = present & ~single
+            if nzm.any():
+                hb[nzm] = np.frexp((c[nzm] - 1).astype(
+                    np.float64))[1] - 1  # highbit(c-1), exact (c < 2^53)
+        max_bits_out = accuracy_log - hb
+        self.delta_nb_bits = np.where(
+            single, (accuracy_log << 16) - (1 << accuracy_log),
+            (max_bits_out << 16) - (c << max_bits_out)) * present
+        self.delta_find_state = np.where(
+            single, cumul[:-1] - 1, cumul[:-1] - c) * present
 
 
 class BitWriter:

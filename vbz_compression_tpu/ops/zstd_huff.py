@@ -94,7 +94,7 @@ def build_codes(data: np.ndarray):
     # Canonical code assignment (spec: "codes are sorted in natural
     # sequential order" within a weight; lower weights = longer codes get the
     # numerically smaller codes starting at 0).
-    code = np.zeros(256, dtype=np.uint32)
+    code = np.zeros(256, dtype=np.uint16)
     cur = 0
     for bits in range(max_bits, 0, -1):
         symbols = np.nonzero(nbits == bits)[0]
@@ -102,7 +102,9 @@ def build_codes(data: np.ndarray):
             code[s] = cur
             cur += 1
         cur >>= 1  # moving to one bit shorter halves the next start
-    return nbits, code, weights, max_bits
+    # u16 codes / u8 lengths: code[chunk] / nbits[chunk] feed the native
+    # bit packer without per-call astype copies.
+    return nbits.astype(np.uint8), code, weights, max_bits
 
 
 def encode_weights_direct(weights: np.ndarray) -> bytes:
