@@ -157,14 +157,21 @@ def tpu_codec_gbps() -> dict:
             return pc5.decode_w2_rows_flat(keys2, data, B, block=BLOCK,
                                            flavor="zz16", slack=SLACK)
 
+        # General kernels run block 16384: displacements then fit the
+        # packed word (d_bits=15), so both directions use the
+        # single-channel fused forms instead of split-meta/extras —
+        # within-run sweep 2026-08-21: hard enc 13.5 vs 10.5, s200 enc
+        # 33.4 vs 26.2 GB/s against block 65536.
+        BLOCK_G = 16384
+
         @jax.jit
         def enc_g(x):
-            return pc5.encode_w2_general(x, block=BLOCK)
+            return pc5.encode_w2_general(x, block=BLOCK_G)
 
         @jax.jit
         def dec_g(keys, data):
-            boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK)
-            return pc5.decode_w2_general(keys, data, boffs, block=BLOCK)
+            boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK_G)
+            return pc5.decode_w2_general(keys, data, boffs, block=BLOCK_G)
 
         @jax.jit
         def mismatch(x, o):
@@ -215,7 +222,7 @@ def tpu_codec_gbps() -> dict:
 
         copy_bw = roofline.measure_copy_gbps()
         f_compact = roofline.w2_traffic_factor(BLOCK, SLACK)
-        f_general = roofline.w2_traffic_factor(BLOCK, BLOCK)
+        f_general = roofline.w2_traffic_factor(BLOCK_G, BLOCK_G)
         for tier, d in tiers.items():
             factor = f_compact if d.pop("compact") else f_general
             sol = copy_bw / factor

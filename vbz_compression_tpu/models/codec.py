@@ -110,6 +110,8 @@ _PALLAS_FLAVOR = {(2, True): "zz16", (2, False): "none16",
 _PC4_MIN_BLOCK = 16384
 _PC5_MAX_BLOCK = 65536  # larger W2 blocks amortize fixed cost (codec5 only;
 #                         codec3's displacement bits cap W2 at 16384)
+_PC5_GENERAL_BLOCK = 16384  # general kernels: d_bits=15 fits the packed
+#                             word -> single-channel routing both ways
 _PC4_SLACK = 2048
 
 _TRIM_GRAIN = 8192
@@ -261,11 +263,14 @@ class PallasSvbBackend(JaxSvbBackend):
             from ..ops import pallas_codec5 as pc5
 
             N = int(np.prod(rec["xj"].shape))
-            block5 = min(_PC5_MAX_BLOCK, N)
+            # Block 16384: the general kernel's displacements then fit
+            # the packed word (single-channel routing, measured fastest —
+            # see bench.py BLOCK_G). Wire format is block-agnostic.
+            block_g = min(_PC5_GENERAL_BLOCK, N)
             # Rare path: flatten the (N/128, 128) staged input back to the
             # 1-D layout the single-grid general kernel takes.
             keys, data_x, _ = pc5.encode_w2_general(
-                rec["xj"].reshape(-1), block=block5, flavor=rec["flavor"])
+                rec["xj"].reshape(-1), block=block_g, flavor=rec["flavor"])
         n = rec["n"]
         key_len = (n + 3) // 4
         # reshape(-1): the rows_flat kernel returns keys as (N/512, 128).
@@ -384,7 +389,7 @@ class PallasSvbBackend(JaxSvbBackend):
                         k2, jnp.asarray(dpad), 1, block=block5,
                         flavor=flavor, slack=_PC4_SLACK)
                 else:
-                    bg = min(_PC5_MAX_BLOCK, N)
+                    bg = min(_PC5_GENERAL_BLOCK, N)
                     kj = jnp.asarray(keys_pad)
                     dj = jnp.asarray(data_np.astype(np.int8))
                     out = pc5.decode_w2_general(

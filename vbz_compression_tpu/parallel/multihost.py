@@ -188,9 +188,11 @@ def compress_signals(signals: list[np.ndarray],
                     import jax.numpy as jnp
 
                     with ctx():
+                        # Block 16384 keeps the general kernel on its
+                        # single-channel (packed-word) routing.
                         kg, dg, _ = pc5.encode_w2_general(
-                            jnp.asarray(batch[row]), block=blk,
-                            flavor="zz16")
+                            jnp.asarray(batch[row]),
+                            block=min(16384, blk), flavor="zz16")
                     svbs.append(_assemble_svb(
                         np.asarray(kg), np.asarray(dg), signals[i].size))
                 else:
