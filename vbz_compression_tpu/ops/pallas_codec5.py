@@ -526,7 +526,10 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
             w = fetched | ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
             E = _flat_psum_mxu(c) - c
             # Shifts of d <= sparse_max < 128 slots only read one row past
-            # the value region; slice once, shift the small array.
+            # the value region; slice once, shift the small array. (A
+            # variant hoisting the one-row-down copy out of the loop and
+            # doing two direct lane rolls per level measured a wash on
+            # chip — Mosaic evidently fuses the chained form's concat.)
             cur = w[:RV + 1]
             res = cur[:RV]
             for d in range(1, sparse_max + 1):
