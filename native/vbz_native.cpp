@@ -25,6 +25,7 @@
 #include <cstdlib>
 #include <memory>
 #include <vector>
+#include <algorithm>
 
 #include <zstd.h>
 
@@ -618,6 +619,68 @@ int64_t vbz_zstd_seq_bitstream(
     if (of_ct) of.flush(bw);
     if (ll_ct) ll.flush(bw);
     return bw.close();
+}
+
+// Length-limited canonical Huffman construction — the exact counterpart
+// of zstd_huff._length_limited_lengths (package-merge with PYTHON TUPLE
+// ordering: packages sorted by (weight, symbol-tuple lexicographic), so
+// the produced lengths — and therefore the frame bytes — are identical
+// to the NumPy encoder's) plus build_codes' canonical assignment.
+// Returns max_bits, or 0 when fewer than two symbols are present.
+int32_t vbz_huff_build_codes(const int64_t* freqs, int32_t max_code_bits,
+                             uint8_t* nbits_out, uint16_t* code_out) {
+    struct Pkg {
+        int64_t w;
+        std::vector<int16_t> syms;
+        bool operator<(const Pkg& o) const {
+            if (w != o.w) return w < o.w;
+            return std::lexicographical_compare(
+                syms.begin(), syms.end(), o.syms.begin(), o.syms.end());
+        }
+    };
+    std::vector<int16_t> sym;
+    for (int s = 0; s < 256; ++s)
+        if (freqs[s] > 0) sym.push_back(static_cast<int16_t>(s));
+    std::memset(nbits_out, 0, 256);
+    std::memset(code_out, 0, 256 * sizeof(uint16_t));
+    const size_t n = sym.size();
+    if (n == 0) return 0;
+    if (n == 1) { nbits_out[sym[0]] = 1; return 0; }
+
+    std::vector<Pkg> items;
+    items.reserve(n);
+    for (int16_t s : sym) items.push_back({freqs[s], {s}});
+    std::sort(items.begin(), items.end());
+    std::vector<Pkg> merged = items;
+    for (int32_t level = 0; level < max_code_bits - 1; ++level) {
+        std::vector<Pkg> next = items;
+        for (size_t i = 0; i + 1 < merged.size(); i += 2) {
+            Pkg p;
+            p.w = merged[i].w + merged[i + 1].w;
+            p.syms = merged[i].syms;
+            p.syms.insert(p.syms.end(), merged[i + 1].syms.begin(),
+                          merged[i + 1].syms.end());
+            next.push_back(std::move(p));
+        }
+        std::sort(next.begin(), next.end());
+        merged = std::move(next);
+    }
+    for (size_t k = 0; k < 2 * n - 2 && k < merged.size(); ++k)
+        for (int16_t s : merged[k].syms) ++nbits_out[s];
+
+    int32_t max_bits = 0;
+    for (int16_t s : sym)
+        if (nbits_out[s] > max_bits) max_bits = nbits_out[s];
+    // Canonical assignment: within a bit length, ascending symbol order;
+    // moving to one bit shorter halves the next start.
+    uint32_t cur = 0;
+    for (int32_t bits = max_bits; bits > 0; --bits) {
+        for (int s = 0; s < 256; ++s)
+            if (nbits_out[s] == bits)
+                code_out[s] = static_cast<uint16_t>(cur++);
+        cur >>= 1;
+    }
+    return max_bits;
 }
 
 int64_t vbz_lz_sequences(const uint8_t* buf, int64_t n, int64_t bstart,

@@ -88,6 +88,10 @@ def _load():
         if fn is not None:
             fn.restype = i64
             fn.argtypes = args
+    fn = getattr(lib, "vbz_huff_build_codes", None)
+    if fn is not None:
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [vp, ctypes.c_int32, vp, vp]
     return lib
 
 

@@ -86,6 +86,20 @@ def build_codes(data: np.ndarray):
     nz = int((freqs > 0).sum())
     if nz <= 1:
         return None
+    lib = _native_bits()
+    if lib is not None and hasattr(lib, "vbz_huff_build_codes"):
+        import ctypes
+
+        f64 = np.ascontiguousarray(freqs.astype(np.int64))
+        nbits = np.zeros(256, np.uint8)
+        code = np.zeros(256, np.uint16)
+        max_bits = int(lib.vbz_huff_build_codes(
+            f64.ctypes.data_as(ctypes.c_void_p), MAX_CODE_BITS,
+            nbits.ctypes.data_as(ctypes.c_void_p),
+            code.ctypes.data_as(ctypes.c_void_p)))
+        weights = np.where(nbits > 0, max_bits + 1 - nbits.astype(np.int32),
+                           0).astype(np.int32)
+        return nbits, code, weights, max_bits
     nbits = _length_limited_lengths(freqs, MAX_CODE_BITS)
     max_bits = int(nbits.max())
     # zstd weights: weight = max_bits + 1 - nbits (0 for absent symbols).
