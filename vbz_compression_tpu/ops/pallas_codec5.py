@@ -532,9 +532,32 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
             # chip — Mosaic evidently fuses the chained form's concat.)
             cur = w[:RV + 1]
             res = cur[:RV]
-            for d in range(1, sparse_max + 1):
-                cur = _flat_shift_left(cur, 1)
-                res = jnp.where(E == d, cur[:RV], res)
+            # Levels are the dominant sparse-path cost (e_sum=1 content ran
+            # 39 GB/s at 4 levels vs 21.6 at 16), so the level range is
+            # split into quarters with ONE cond gating each upper quarter.
+            # Swept on chip 2026-08-21: quarters beat halves beat the
+            # straight 16 (realistic dec 21.5 -> 23.5 -> 24.6; e_sum=1
+            # content 21.6 -> 29.8 -> 32.8) while EIGHTHS regress
+            # (realistic 19.5 — seven conds re-enter the per-level-cond
+            # static-allocation pathology).
+            q = max(sparse_max // 4, 1)
+            bounds = list(range(q, sparse_max, q))
+
+            def _levels(args, lo, hi):
+                cur, res = args
+                for d in range(lo, hi + 1):
+                    cur = _flat_shift_left(cur, 1)
+                    res = jnp.where(E == d, cur[:RV], res)
+                return cur, res
+
+            cur, res = _levels((cur, res), 1, bounds[0] if bounds
+                               else sparse_max)
+            for k, lo in enumerate(bounds):
+                hi = bounds[k + 1] if k + 1 < len(bounds) else sparse_max
+                cur, res = jax.lax.cond(
+                    e_sum > lo,
+                    lambda args, lo=lo, hi=hi: _levels(args, lo + 1, hi),
+                    lambda args: args, (cur, res))
             return (res & 0xFF) | (((res >> 8) & 0xFF) * c << 8)
 
         # All-code-0 block: every byte at slot i IS value i — no candidate
