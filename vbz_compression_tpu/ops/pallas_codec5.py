@@ -189,6 +189,38 @@ def _reverse_pull_fused(chan: jax.Array, d_bits: int, dmax=None,
     return (chan, *extras)
 
 
+def _route_msb_grouped(chan: jax.Array, d_bits: int, e_sum,
+                       d_shift: int = D_SHIFT) -> jax.Array:
+    """MSB-first monotone push with ONE range-gated upper group: stages
+    j >= 4 only move tokens when e_sum >= 16, so they sit behind a single
+    cond; stages [3..0] always run. Per-stage conds cost more than the
+    stages they skip (the round-4 dmax-gating removal), but one range
+    cond recovers the data-adaptive skipping for the realistic tier
+    (e_sum 3-15 runs 4 of 12 stages). Swept on chip 2026-08-21: one
+    split beats three ([..6],[5..4],[3..2]: realistic enc 38.7 vs 41.4,
+    mixed 28.2 vs 29.9) and both beat straight-line on realistic
+    (~31 GB/s) without hurting mixed or pure."""
+    def stages(chan, hi, lo):
+        for j in range(hi, lo - 1, -1):
+            rolled = _flat_shift_right(chan, 1 << j)
+            bit_rolled = (rolled >> (d_shift + j)) & 1
+            bit_stay = (chan >> (d_shift + j)) & 1
+            chan = jnp.where(bit_rolled == 1, rolled,
+                             jnp.where(bit_stay == 0, chan, 0))
+        return chan
+
+    hi = d_bits - 1
+    for lo in (4,):
+        if hi < lo:
+            continue
+        chan = jax.lax.cond(
+            e_sum >= (1 << lo),
+            lambda c, hi=hi, lo=lo: stages(c, hi, lo),
+            lambda c: c, chan)
+        hi = lo - 1
+    return stages(chan, hi, 0)
+
+
 def _ext_bytes(slack: int) -> int:
     """Staging extension beyond the block: slack + alignment headroom,
     rounded so the whole staged span stays a multiple of the i8 tile
@@ -287,7 +319,7 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
             else:
                 chan = jnp.concatenate(
                     [v | (1 << OCC_BIT) | (E << D_SHIFT), zpad], axis=0)
-                (routed,) = _route_msb(chan, d_bits)
+                routed = _route_msb_grouped(chan, d_bits, e_sum)
             return (routed & 0xFF) | \
                 ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
 
