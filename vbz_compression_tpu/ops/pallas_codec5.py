@@ -127,14 +127,16 @@ def _flat_psum_mxu16(x: jax.Array) -> jax.Array:
     return _cross_row_psum(lane)
 
 
-def _route_fwd_disp(chan: jax.Array, d_bits: int, dmax=None) -> jax.Array:
+def _route_fwd_disp(chan: jax.Array, d_bits: int, dmax=None,
+                    lo: int = 0) -> jax.Array:
     """MSB-first monotone push of a displacement-only channel: occupancy at
     bit 0, displacement at bits [1, 1+d_bits). Empty slots are all-zero.
     This is `_route_msb` minus payload — the decode's forward pass only
     needs to learn WHERE each value's token lands in the stream, so routing
     the displacement field itself replaces codec3/4's mask-recording
-    simulation (no mask extraction, packing, or extra live arrays)."""
-    for j in range(d_bits - 1, -1, -1):
+    simulation (no mask extraction, packing, or extra live arrays).
+    ``lo``: lowest stage index to run (for range-gated callers)."""
+    for j in range(d_bits - 1, lo - 1, -1):
         def _stage(chan, j=j):
             rolled = _flat_shift_right(chan, 1 << j)
             bit_rolled = (rolled >> (1 + j)) & 1
@@ -150,7 +152,7 @@ def _route_fwd_disp(chan: jax.Array, d_bits: int, dmax=None) -> jax.Array:
 
 
 def _reverse_pull_fused(chan: jax.Array, d_bits: int, dmax=None,
-                        extras=()):
+                        extras=(), lo: int = 0):
     """Mask-free reverse replay: undo the MSB-first push LSB-first, with
     each token CARRYING its own displacement (bits [1, 1+d_bits)) so no
     recorded masks are needed. In the forward network a token with bit j
@@ -164,9 +166,11 @@ def _reverse_pull_fused(chan: jax.Array, d_bits: int, dmax=None,
     decode's block size at 16384.
 
     ``extras`` are payload-only channels pulled with the same decisions
-    (used when payload + displacement exceed 32 bits)."""
+    (used when payload + displacement exceed 32 bits). ``lo``: lowest
+    stage index to run (for range-gated callers — the pull is LSB-first,
+    so its upper stages come last)."""
     extras = list(extras)
-    for j in range(d_bits):
+    for j in range(lo, d_bits):
         def _stage(args, j=j):
             chan, *extras = args
             pulled = _flat_shift_left(chan, 1 << j)
@@ -521,7 +525,10 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
             # Straight-line stages (no per-stage dmax conds) — probed on
             # chip 2026-08-21: the skip branches' static allocation costs
             # more than the stages (mixed dec 12.7 -> 17.8 without them);
-            # low-e_sum blocks take the _sparse path anyway.
+            # low-e_sum blocks take the _sparse path anyway. Range-gating
+            # the top two stage pairs (the encode trick) was tried here
+            # too and measured a wash on mixed with a possible small
+            # regression on realistic — reverted.
             w = fetched | ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
             E = _flat_psum_mxu(c) - c
             zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
