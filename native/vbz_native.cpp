@@ -484,9 +484,11 @@ vbz_size_t vbz_decompress_sized(const void* source, vbz_size_t source_size,
 // ---------------------------------------------------------------------------
 
 static inline uint32_t lz_load32(const uint8_t* p) {
-    uint32_t v;
-    std::memcpy(&v, p, 4);
-    return v;  // little-endian hosts only (x86) — matches the NumPy v4
+    // Byte-composed so the window value matches the NumPy v4 path on any
+    // host endianness (compiles to a single load on x86).
+    return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+           (static_cast<uint32_t>(p[2]) << 16) |
+           (static_cast<uint32_t>(p[3]) << 24);
 }
 
 // prev[i] = most recent j < i with the same 17-bit hash, else -1;
@@ -645,7 +647,10 @@ int32_t vbz_huff_build_codes(const int64_t* freqs, int32_t max_code_bits,
     std::memset(code_out, 0, 256 * sizeof(uint16_t));
     const size_t n = sym.size();
     if (n == 0) return 0;
-    if (n == 1) { nbits_out[sym[0]] = 1; return 0; }
+    // n == 1: one present symbol gets a 1-bit code; report max_bits = 1
+    // (the longest length actually assigned) so weight = max_bits + 1 -
+    // nbits stays consistent for any caller that reaches this case.
+    if (n == 1) { nbits_out[sym[0]] = 1; return 1; }
 
     std::vector<Pkg> items;
     items.reserve(n);

@@ -30,6 +30,33 @@ def test_compress_signals_matches_api(plane):
         np.testing.assert_array_equal(np.frombuffer(out, np.int16), sig)
 
 
+def test_overflow_fallback_batched(monkeypatch):
+    """A majority-overflow bucket re-encodes ALL overflowing rows in ONE
+    batched general-kernel call, not a per-row device-call loop (a dense
+    corpus would otherwise degrade to B dispatches — VERDICT r4 #7)."""
+    from vbz_compression_tpu.ops import pallas_codec5 as pc5
+
+    general_calls = []
+    orig = pc5.encode_w2_rows_flat
+
+    def counting(x2, batch, **kw):
+        if kw.get("slack") == kw.get("block"):   # general (slack = block)
+            general_calls.append(batch)
+        return orig(x2, batch, **kw)
+
+    monkeypatch.setattr(pc5, "encode_w2_rows_flat", counting)
+    rng = np.random.default_rng(3)
+    signals = [rng.integers(-30000, 30000, 20_000, dtype=np.int16)
+               for _ in range(5)]
+    opts = CompressionOptions(True, 2, 1, 0)
+    streams = multihost.compress_signals(signals, opts, plane="pallas")
+    assert general_calls == [5], general_calls
+    for sig, stream in zip(signals, streams):
+        assert stream == api.vbz_compress_sized(sig, opts)
+        out = api.vbz_decompress_sized(stream, opts)
+        np.testing.assert_array_equal(np.frombuffer(out, np.int16), sig)
+
+
 def test_compress_signals_pallas_compact():
     """Smooth signal rows stay on the compact batched-grid kernels (no
     overflow fallback) and still match the api streams byte-for-byte."""

@@ -66,6 +66,19 @@ _PALLAS_MIN_BLOCK = 16384
 _PALLAS_MAX_BLOCK = 65536
 _PALLAS_SLACK = 2048
 
+# JAX interpret-mode ceilings (probed 2026-08-21, JAX 0.9): the shared-
+# memory emulation DEADLOCKS for multi-device meshes once per-row buffers
+# pass ~32K values (threads block in _allocate_buffer while others hold
+# the interpreter's global barrier), and 64K-block kernels hang even
+# single-device (32K interprets in ~3 s, 64K never returns). These are
+# interpreter limitations, not kernel bugs — re-probe on a JAX upgrade
+# (tools/multihost_smoke.py exercises both paths off-TPU).
+_INTERPRET_LIMITS = {
+    "probed": "2026-08-21 / jax 0.9",
+    "multi_device_max_bucket": 32768,   # larger buckets -> 1-device sub-mesh
+    "max_block": 32768,                 # off-TPU block cap
+}
+
 
 def _pallas_plane(options: CompressionOptions, plane: str) -> bool:
     """The production Pallas (codec5) sharded plane covers the v0 int16
@@ -139,7 +152,8 @@ def compress_signals(signals: list[np.ndarray],
         # the multi-device interpret path stays covered by the small-bucket
         # case (and by test_sharded/dryrun_multichip).
         bmesh = mesh
-        if use_pallas and not on_tpu and ndev > 1 and b > 32768:
+        if use_pallas and not on_tpu and ndev > 1 \
+                and b > _INTERPRET_LIMITS["multi_device_max_bucket"]:
             bmesh = sharded.make_mesh(mesh.devices.reshape(-1)[:1])
         ndev_b = len(bmesh.devices.reshape(-1))
         # Pad the batch to a multiple of the device count.
@@ -159,10 +173,10 @@ def compress_signals(signals: list[np.ndarray],
                 return (contextlib.nullcontext() if on_tpu
                         else pltpu.force_tpu_interpret_mode())
 
-            # Interpret mode also hangs on 64K blocks even single-device
-            # (probed: block 32768 interprets in ~3 s, 65536 never
-            # returns); cap the off-TPU block at 32K. Hardware keeps 64K.
-            max_blk = _PALLAS_MAX_BLOCK if on_tpu else 32768
+            # Hardware keeps 64K; off-TPU the interpreter caps the block
+            # (see _INTERPRET_LIMITS).
+            max_blk = (_PALLAS_MAX_BLOCK if on_tpu
+                       else _INTERPRET_LIMITS["max_block"])
             blk = block or min(max_blk, b)
             # Edge padding → pad deltas are 0 → code-0 key bits, which the
             # wire-format trim in _assemble_svb relies on.
@@ -178,23 +192,38 @@ def compress_signals(signals: list[np.ndarray],
             # Kernel-native flat outputs -> per-row views (free on host).
             keys_np = np.asarray(keys).reshape(Bb, b // 4)
             data_np = np.asarray(data).reshape(Bb, -1)
+
+            # Compact-budget overflow (dense content): ONE batched general-
+            # kernel call over exactly the overflowing rows (slack = block,
+            # so re-overflow is impossible; same wire format). A per-row
+            # device-call loop here degraded mostly-incompressible corpora
+            # to B dispatches (VERDICT r4 #7).
+            ovf_rows = [row for row in range(len(idxs)) if ovf_np[row]]
+            kg_np = dg_np = None
+            if ovf_rows:
+                from ..ops import pallas_codec5 as pc5
+
+                import jax.numpy as jnp
+
+                # Block 16384 keeps the general kernel on its
+                # single-channel (packed-word) routing.
+                gblk = min(16384, blk)
+                Bo = len(ovf_rows)
+                xg = np.ascontiguousarray(batch[ovf_rows])
+                with ctx():
+                    kg, dg, _lens_g, _ovf_g = pc5.encode_w2_rows_flat(
+                        jnp.asarray(xg.reshape(Bo * b // 128, 128)), Bo,
+                        block=gblk, flavor="zz16", slack=gblk)
+                kg_np = np.asarray(kg).reshape(Bo, b // 4)
+                dg_np = np.asarray(dg).reshape(Bo, -1)
+            ovf_pos = {row: j for j, row in enumerate(ovf_rows)}
+
             svbs = []
             for row, i in enumerate(batch_idx[: len(idxs)]):
-                if ovf_np[row]:
-                    # Compact-budget overflow (dense content): general
-                    # kernel, same wire format, per overflowing row only.
-                    from ..ops import pallas_codec5 as pc5
-
-                    import jax.numpy as jnp
-
-                    with ctx():
-                        # Block 16384 keeps the general kernel on its
-                        # single-channel (packed-word) routing.
-                        kg, dg, _ = pc5.encode_w2_general(
-                            jnp.asarray(batch[row]),
-                            block=min(16384, blk), flavor="zz16")
+                if row in ovf_pos:
+                    j = ovf_pos[row]
                     svbs.append(_assemble_svb(
-                        np.asarray(kg), np.asarray(dg), signals[i].size))
+                        kg_np[j], dg_np[j], signals[i].size))
                 else:
                     svbs.append(_assemble_svb(
                         keys_np[row], data_np[row], signals[i].size))
