@@ -422,10 +422,11 @@ def main() -> None:
     # replacing libzstd in the same pipeline. Host matcher — the TPU match
     # scan (own-tpu) produces the same frames but pulls a 4-byte-per-byte
     # match map through the 0.1-0.35 s/RPC tunnel, an environment cost,
-    # not a codec one. One rep — the measured negative (ROADMAP "Entropy
-    # stage") is two orders of magnitude, not a timing-noise call.
+    # not a codec one. Since round 5 the whole frame encoder is native
+    # (vbz_own_zstd.cpp, byte-identical to the NumPy oracle) and fast
+    # enough for best-of-3 sampling on both legs.
     try:
-        own = pipeline_gbps(encoder="own", reps=1)
+        own = pipeline_gbps(encoder="own", reps=3)
         print(json.dumps({
             "metric": "int16_signal_pipeline_own_encoder",
             "value": round(own["combined"], 4),

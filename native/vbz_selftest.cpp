@@ -144,6 +144,52 @@ static void test_error_taxonomy() {
     CHECK(std::strlen(vbz_error_string(VBZ_STREAMVBYTE_STREAM_ERROR)) > 0);
 }
 
+extern "C" int64_t vbz_own_zstd_frame(const uint8_t* src, int64_t n,
+                                      uint8_t* dst, int64_t cap);
+#include <zstd.h>
+
+// The from-scratch zstd frame encoder (vbz_own_zstd.cpp) must emit frames
+// the stock libzstd decoder round-trips, across content classes that hit
+// every block type (RLE / raw / Huffman-literals / sequences).
+static void test_own_zstd_frames() {
+    std::mt19937 rng(7);
+    std::vector<std::vector<uint8_t>> cases;
+    cases.push_back({});                                  // empty frame
+    cases.push_back(std::vector<uint8_t>(5000, 42));      // RLE block
+    {
+        std::vector<uint8_t> v(300000);                   // multi-block rand
+        for (auto& b : v) b = (uint8_t)rng();
+        cases.push_back(v);
+    }
+    {
+        std::vector<uint8_t> v;                           // matchy content
+        for (int i = 0; i < 20000; ++i) v.push_back("abcabcd"[i % 7]);
+        cases.push_back(v);
+    }
+    {
+        std::vector<uint8_t> v(150000);                   // signal-like
+        int x = 500;
+        for (auto& b : v) {
+            x += (int)(rng() % 7) - 3;
+            b = (uint8_t)(x & 0xFF);
+        }
+        cases.push_back(v);
+    }
+    for (const auto& in : cases) {
+        std::vector<uint8_t> frame(in.size() + in.size() / 8 + 256);
+        int64_t m = vbz_own_zstd_frame(in.data(), (int64_t)in.size(),
+                                       frame.data(), (int64_t)frame.size());
+        CHECK(m > 0);
+        if (m <= 0) continue;
+        std::vector<uint8_t> back(in.size() + 16);
+        size_t r = ZSTD_decompress(back.data(), back.size(), frame.data(),
+                                   (size_t)m);
+        CHECK(!ZSTD_isError(r));
+        CHECK(r == in.size());
+        CHECK(std::memcmp(back.data(), in.data(), in.size()) == 0);
+    }
+}
+
 int main() {
     test_golden_int16_zigzag_v0();
     test_golden_uint16_no_zigzag();
@@ -151,6 +197,7 @@ int main() {
     test_golden_sized_framing();
     test_roundtrip_sweeps();
     test_error_taxonomy();
+    test_own_zstd_frames();
     if (g_failures) {
         std::fprintf(stderr, "%d failures\n", g_failures);
         return 1;

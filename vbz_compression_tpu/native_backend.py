@@ -83,6 +83,9 @@ def _load():
         ("vbz_zstd_seq_bitstream",
          [i64, vp, vp, vp, vp, vp, vp, vp, vp, vp, ctp, ctp, ctp, vp,
           i64]),
+        # Complete from-scratch zstd frame encoder (vbz_own_zstd.cpp) —
+        # byte-identical to zstd_seq.compress_frame(matcher="host").
+        ("vbz_own_zstd_frame", [vp, i64, vp, i64]),
     ]:
         fn = getattr(lib, name, None)
         if fn is not None:

@@ -47,8 +47,10 @@ def normalize_counts(freqs: np.ndarray, accuracy_log: int,
             norm[i] -= take
             rest += take
     elif rest > 0:
-        # give the remainder to the largest-frequency symbol(s)
-        order = np.argsort(-freqs)
+        # give the remainder to the largest-frequency symbol(s); stable
+        # order so the native port's (-freq, index) sort picks the SAME
+        # symbol on frequency ties (frames must stay byte-identical).
+        order = np.argsort(-freqs, kind="stable")
         for i in order:
             if norm[i] > 0:
                 norm[i] += rest

@@ -245,21 +245,38 @@ def _channel_table(codes: np.ndarray, predef: np.ndarray, predef_log: int,
     Returns ``(mode, desc_bytes, CTable|None)``; mode 0=Predefined, 1=RLE,
     3=FSE_Compressed (RFC values: Predefined_Mode=0, RLE_Mode=1,
     FSE_Compressed_Mode=2 — we return the RFC field value)."""
+    import math
+
     n = codes.size
     if np.all(codes == codes[0]):
         return 1, bytes([int(codes[0])]), None
     freqs = np.bincount(codes, minlength=predef.size)
+
     # Estimated cost (bits): cross-entropy vs each table's distribution.
-    p_pre = np.where(predef < 0, 0.5, predef).astype(np.float64)
-    p_pre /= p_pre.sum()
-    nz = freqs > 0
-    pre_bits = -np.sum(freqs[nz] * np.log2(p_pre[nz]))
+    # Sequential libm-log2 sums ON PURPOSE: the native port
+    # (vbz_own_zstd.cpp) replays this loop with the same IEEE double ops,
+    # so both sides make the SAME table-mode decision bit for bit (numpy's
+    # pairwise summation / SIMD log2 could differ in the last ulp).
+    def cross_entropy_bits(dist: np.ndarray) -> float:
+        p = [0.5 if v < 0 else float(v) for v in dist.tolist()]
+        tot = 0.0
+        for v in p:
+            tot += v
+        bits = 0.0
+        for f, pv in zip(freqs.tolist(), p):
+            if f > 0:
+                bits -= f * math.log2(pv / tot)
+        return bits
+
     al = min(max_log, max(5, n.bit_length()))
     norm = fse.normalize_counts(freqs, al)
     desc = fse.write_norm_counts(norm, al)
-    p_own = np.where(norm < 0, 0.5, norm).astype(np.float64)
-    p_own /= p_own.sum()
-    own_bits = -np.sum(freqs[nz] * np.log2(p_own[nz])) + 8 * len(desc)
+    own_bits = cross_entropy_bits(norm) + 8 * len(desc)
+    if freqs.size > predef.size:
+        # A code outside the predefined alphabet (huge offsets): the
+        # predefined table cannot represent it — own table is mandatory.
+        return 2, desc, fse.CTable(norm, al)
+    pre_bits = cross_entropy_bits(predef)
     if own_bits + 4 < pre_bits:  # margin: prefer predefined on ties
         return 2, desc, fse.CTable(norm, al)
     return 0, b"", fse.CTable(predef, predef_log)
@@ -381,6 +398,23 @@ def compress_frame(data: bytes, matcher: str = "host") -> bytes:
     """
     buf = np.frombuffer(data, dtype=np.uint8)
     n = buf.size
+    if matcher == "host":
+        # Complete native frame encoder (vbz_own_zstd.cpp): byte-identical
+        # frames at C speed; the NumPy path below is the parity oracle
+        # (tests/test_zstd_seq.py::test_native_encoder_parity).
+        lib = _native_lz()
+        if lib is not None and hasattr(lib, "vbz_own_zstd_frame"):
+            import ctypes
+
+            src = np.ascontiguousarray(buf)
+            cap = n + n // 8 + 256
+            out_buf = np.empty(cap, np.uint8)
+            m = int(lib.vbz_own_zstd_frame(
+                src.ctypes.data_as(ctypes.c_void_p), n,
+                out_buf.ctypes.data_as(ctypes.c_void_p), cap))
+            if m > 0:
+                return out_buf[:m].tobytes()
+            # m <= 0: capacity/invariant breach — fall through to NumPy.
     if n < 256:
         header = bytes([0x20, n])
     elif n < (1 << 16) + 256:
