@@ -388,7 +388,7 @@ def test_pallas5_sparse_vs_dense_replay():
     datab = np.frombuffer(ref[N // 4:], np.uint8)
     boffs = pc4.block_offsets_from_keys(jnp.asarray(keysA), 512)
     outs = {}
-    for sparse_max in (0, 10, 64):
+    for sparse_max in (-2, -1, 0, 10, 64):
         with pltpu.force_tpu_interpret_mode():
             out = pc5.decode_w2(
                 jnp.asarray(keysA), jnp.asarray(datab.astype(np.int32)),
@@ -532,3 +532,87 @@ def test_pallas5_split_replay_channel():
         _roundtrip5_general(sig, 512)
     finally:
         pc5._FORCE_SPLIT_REPLAY = False
+
+
+# ---------------------------------------------------------------------------
+# Dense leftward-compaction kernels (pallas_dense)
+# ---------------------------------------------------------------------------
+
+from vbz_compression_tpu.ops import pallas_dense as pcd  # noqa: E402
+
+
+def _roundtrip_dense(sig: np.ndarray, block: int):
+    N = sig.size
+    ref = scalar.svb_compress(sig, 2, True, 0)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total = pcd.encode_w2_dense(
+            jnp.asarray(sig), block=block)
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
+    assert stream == ref, "dense encode not bit-exact vs the scalar oracle"
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    boffs = pc4.block_offsets_from_keys(jnp.asarray(keysA), block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pcd.decode_w2_dense(
+            jnp.asarray(keysA), jnp.asarray(datab.astype(np.int8)),
+            boffs, block=block)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+def test_dense_incompressible():
+    # The target regime: ~every delta needs two bytes, few code-0 slots.
+    rng = np.random.default_rng(9)
+    sig = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    _roundtrip_dense(sig, 512)
+
+
+def test_dense_all_two_byte():
+    # c0_sum == 0: the network must be a pure pass-through of the
+    # interleaved layout (D == 0 everywhere).
+    sig = np.cumsum(np.full(2048, 300, np.int64)).astype(np.int16)
+    _roundtrip_dense(sig, 512)
+
+
+def test_dense_signal_content():
+    # c0_sum ~ V (smooth walk): worst case for the leftward depth — every
+    # displacement bit is exercised, including the gated upper stages.
+    rng = np.random.default_rng(0)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 4096)),
+                  -2000, 2000).astype(np.int16)
+    _roundtrip_dense(sig, 1024)
+
+
+def test_dense_mixed_codes():
+    rng = np.random.default_rng(7)
+    sig = np.cumsum(rng.integers(-400, 400, 4096)).astype(np.int16)
+    _roundtrip_dense(sig, 512)
+
+
+def test_dense_multiblock_offsets():
+    # Several blocks with different c0 densities: alignment carries and
+    # block offsets must chain exactly like the general kernel's.
+    rng = np.random.default_rng(3)
+    a = rng.integers(-32768, 32768, 1024).astype(np.int16)
+    b = np.clip(500 + np.cumsum(rng.normal(0, 12, 1024)),
+                -2000, 2000).astype(np.int16)
+    c = np.cumsum(rng.integers(-200, 200, 2048)).astype(np.int16)
+    _roundtrip_dense(np.concatenate([a, b, c]), 512)
+
+
+def test_dense_wrap_extremes():
+    # 16-bit wrapped deltas at the overflow boundary.
+    sig = np.array([-32768, 32767] * 1024, np.int16)
+    _roundtrip_dense(sig, 512)
+
+
+@pytest.mark.slow
+def test_dense_both_gates():
+    # block 16384 -> d_bits 14 -> BOTH gate groups (9 and 13) exist; a
+    # smooth walk pushes c0_sum past each boundary so every gated stage
+    # group runs (the on-chip s200 failure mode: a double-push bug hid
+    # here — interpret sizes below 16K never instantiate the second gate).
+    rng = np.random.default_rng(2)
+    sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 16384)),
+                  -2000, 2000).astype(np.int16)
+    _roundtrip_dense(sig, 16384)

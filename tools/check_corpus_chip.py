@@ -1,0 +1,149 @@
+"""Corpus-driver device-side throughput — the BASELINE scaling config's
+1-chip anchor (BASELINE.md: "full fast5 corpus compress -> GB/s at
+1 chip"). Drives the EXACT device path multihost.compress_signals uses
+(bucket by padded length -> pad -> codec5 rows_flat batched encode per
+bucket through the sharded plane) on a realistic pseudo-read corpus
+(30k-125k samples/read, mirroring the reference perf SignalGenerator,
+reference vbz/perf/test_data_generator.h:28-74), and reports GB/s of raw
+signal through the driver's device portion: kernels + per-bucket
+dispatch, slope-timed so the tunnel RPC tax cancels (host zstd and
+host assembly are the pipeline line's territory, measured in bench.py).
+
+Writes CORPUS_CHIP_r05.json. Run on the real chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from vbz_compression_tpu.parallel import multihost, sharded  # noqa: E402
+
+
+def fence(arr):
+    return float(jnp.sum(arr.astype(jnp.int32).ravel()[:8])[None][0])
+
+
+def make_corpus(n_reads: int = 64, seed: int = 21):
+    """Pseudo-reads like the reference SignalGenerator: lengths cycle
+    30k-125k samples, sigma-12 walk content with read-boundary jumps."""
+    rng = np.random.default_rng(seed)
+    reads = []
+    for i in range(n_reads):
+        n = int(rng.integers(30_000, 125_000))
+        sig = np.clip(500 + np.cumsum(rng.normal(0, 12, n)),
+                      -2000, 2000).astype(np.int16)
+        reads.append(sig)
+    return reads
+
+
+def main():
+    signals = make_corpus()
+    raw_bytes = sum(s.nbytes for s in signals)
+    mesh = sharded.make_mesh(jax.local_devices())
+    ndev = len(mesh.devices.reshape(-1))
+
+    # The driver's bucketing (multihost.compress_signals semantics).
+    by_bucket = {}
+    for i, s in enumerate(signals):
+        b = max(multihost._PALLAS_MIN_BLOCK, 4096,
+                1 << (max(int(s.size) - 1, 1).bit_length()))
+        by_bucket.setdefault(b, []).append(i)
+
+    # Stage each bucket's padded batch on device once (host->device RPCs
+    # are the tunnel's, not the driver's); then slope-time the device
+    # portion: one batched-grid sharded encode per bucket per pass.
+    staged = []
+    padded_bytes = 0
+    for b, idxs in sorted(by_bucket.items()):
+        batch_idx = list(idxs)
+        while len(batch_idx) % ndev:
+            batch_idx.append(idxs[-1])
+        chunks = [signals[i].astype(np.int16) for i in batch_idx]
+        batch, _lens = sharded.pad_chunks(chunks, pad_to=b, mode="edge")
+        Bb = batch.shape[0]
+        x2 = sharded.shard_batch(mesh, sharded.flatten_rows(batch))
+        blk = min(multihost._PALLAS_MAX_BLOCK, b)
+        staged.append((x2, Bb, blk))
+        padded_bytes += batch.nbytes
+
+    def encode_all():
+        last = None
+        for x2, Bb, blk in staged:
+            keys, data, _lens, _tot, ovf = \
+                sharded.batch_encode_sharded_pallas5(
+                    x2, mesh=mesh, batch=Bb, block=blk,
+                    slack=multihost._PALLAS_SLACK)
+            last = ovf
+        return last
+
+    # Correctness anchor: the driver end-to-end (device + host assembly)
+    # must byte-match the api streams for a sample of reads.
+    from vbz_compression_tpu import api
+    from vbz_compression_tpu.options import CompressionOptions
+
+    opts = CompressionOptions(True, 2, 1, 0)
+    sample = signals[:3]
+    streams = multihost.compress_signals(sample, opts, mesh=mesh,
+                                         plane="pallas")
+    for sig, st in zip(sample, streams):
+        assert st == api.vbz_compress_sized(sig, opts), "driver parity"
+
+    ovf = encode_all()
+    assert int(jnp.sum(ovf)[None][0]) == 0, "unexpected overflow rows"
+
+    def run(r):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(r):
+            last = encode_all()
+        fence(last)
+        return time.perf_counter() - t0
+
+    run(1)
+    r_lo, r_hi = 3, 13
+    samples = []
+    for _ in range(8):
+        s = (run(r_hi) - run(r_lo)) / (r_hi - r_lo)
+        if s > 0:
+            samples.append(s)
+        if len(samples) >= 4:
+            break
+    assert len(samples) >= 2, "chip too noisy"
+    per_pass = sorted(samples)[1]
+    gbs_raw = raw_bytes / per_pass / 1e9
+    gbs_padded = padded_bytes / per_pass / 1e9
+
+    out = {
+        "device": str(jax.devices()[0]),
+        "devices": ndev,
+        "reads": len(signals),
+        "raw_bytes": raw_bytes,
+        "padded_bytes": padded_bytes,
+        "buckets": {str(b): len(v) for b, v in sorted(by_bucket.items())},
+        "corpus_driver_gb_s": round(gbs_raw, 2),
+        "corpus_driver_padded_gb_s": round(gbs_padded, 2),
+        "note": ("device portion of multihost.compress_signals (bucketed "
+                 "codec5 rows_flat sharded encode), slope method; raw = "
+                 "GB/s of unpadded signal, padded = of device work done"),
+    }
+    path = os.path.join(REPO, "CORPUS_CHIP_r05.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

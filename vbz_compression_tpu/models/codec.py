@@ -260,17 +260,26 @@ class PallasSvbBackend(JaxSvbBackend):
         if ovf is None:
             ovf = 0 if rec["ovf"] is None else int(rec["ovf"])
         if ovf:
-            from ..ops import pallas_codec5 as pc5
-
             N = int(np.prod(rec["xj"].shape))
-            # Block 16384: the general kernel's displacements then fit
-            # the packed word (single-channel routing, measured fastest —
-            # see bench.py BLOCK_G). Wire format is block-agnostic.
-            block_g = min(_PC5_GENERAL_BLOCK, N)
-            # Rare path: flatten the (N/128, 128) staged input back to the
-            # 1-D layout the single-grid general kernel takes.
-            keys, data_x, _ = pc5.encode_w2_general(
-                rec["xj"].reshape(-1), block=block_g, flavor=rec["flavor"])
+            if rec["flavor"] == "zz16" and N >= _PC5_MAX_BLOCK:
+                # Dense-regime leftward network (round 5): depth
+                # log2(c0_sum) at block 65536 — on-chip A/B vs the
+                # general kernel on incompressible content: enc +47%,
+                # dec +32% (tools/ab_dense.py). Wire format identical.
+                from ..ops import pallas_dense as pcd
+
+                keys, data_x, _ = pcd.encode_w2_dense(
+                    rec["xj"].reshape(-1), block=_PC5_MAX_BLOCK)
+            else:
+                from ..ops import pallas_codec5 as pc5
+
+                # Block 16384: the general kernel's displacements then
+                # fit the packed word (single-channel routing). Wire
+                # format is block-agnostic.
+                block_g = min(_PC5_GENERAL_BLOCK, N)
+                keys, data_x, _ = pc5.encode_w2_general(
+                    rec["xj"].reshape(-1), block=block_g,
+                    flavor=rec["flavor"])
         n = rec["n"]
         key_len = (n + 3) // 4
         # reshape(-1): the rows_flat kernel returns keys as (N/512, 128).
@@ -388,6 +397,17 @@ class PallasSvbBackend(JaxSvbBackend):
                     out = pc5.decode_w2_rows_flat(
                         k2, jnp.asarray(dpad), 1, block=block5,
                         flavor=flavor, slack=_PC4_SLACK)
+                elif flavor == "zz16" and N >= _PC5_MAX_BLOCK:
+                    # Dense-regime leftward network (see _finish_encode).
+                    from ..ops import pallas_dense as pcd
+
+                    kj = jnp.asarray(keys_pad)
+                    dj = jnp.asarray(data_np.astype(np.int8))
+                    out = pcd.decode_w2_dense(
+                        kj, dj,
+                        pc5.block_offsets_from_keys_flat(
+                            kj, _PC5_MAX_BLOCK),
+                        block=_PC5_MAX_BLOCK)
                 else:
                     bg = min(_PC5_GENERAL_BLOCK, N)
                     kj = jnp.asarray(keys_pad)

@@ -64,14 +64,19 @@ AG_ROWS = AG // LANES     # 32
 # slack > 16384 (d_bits > 15) — sizes far too slow for interpret-mode CI.
 _FORCE_SPLIT_REPLAY = False
 
-# Sparse-replay regime bound: blocks with e_sum <= this decode via one
-# static-shift select per displacement level (sparse_max light stages, no
-# forward routing pass) instead of the dense 2*log2(e_sum) push/pull
-# ladder. The realistic fast5 workload carries 3-15 two-byte deltas per
-# 64K block (read boundaries), squarely in this regime. Swept on chip
-# 2026-08-21: 16 beats 10 (covers every realistic block) and 24 is worse
-# on every tier. Set to 0 to force the dense ladder (tests).
-SPARSE_REPLAY_MAX = 16
+# Replay-regime dispatch (the decode_w2 ``sparse_max`` default):
+#   -2  hybrid (PRODUCTION since r5): range-gated dense ladder for blocks
+#       with e_sum <= 255 (2*ceil(log2(e_sum)) active stages behind two
+#       conds per pass), straight-line ladder above. Chip A/B 2026-08-21
+#       (tools/ab_gated_ladder.py): realistic dec ~+10% over the sparse
+#       levels (the r4 production path), mixed/pure parity.
+#   -1  gated ladder for every replay block (mixed dec ~-10%: the gate
+#       conds cost when every group runs anyway).
+#    0  straight-line dense ladder only.
+#   >0  sparse per-level select for blocks with e_sum <= bound (the r4
+#       path: one static shift+select per displacement level — LINEAR in
+#       e_sum, which is why the log-depth gated ladder beats it).
+SPARSE_REPLAY_MAX = -2
 
 
 def _lane_psum_mxu(x: jax.Array) -> jax.Array:
@@ -148,6 +153,57 @@ def _route_fwd_disp(chan: jax.Array, d_bits: int, dmax=None,
             chan = _stage(chan)
         else:
             chan = jax.lax.cond(dmax >= (1 << j), _stage, lambda c: c, chan)
+    return chan
+
+
+def _route_fwd_disp_grouped(chan: jax.Array, d_bits: int, e_sum,
+                            gates=(4, 8)) -> jax.Array:
+    """:func:`_route_fwd_disp` with range-gated upper stage groups: stages
+    j >= g only matter when displacements can reach 2^g, i.e. e_sum >= 2^g
+    (E <= e_sum), so each group sits behind ONE cond — the encode-side
+    _route_msb_grouped trick applied to the decode's forward pass. For the
+    realistic tier (e_sum 3-15) only stages [min(gates)-1..0] run."""
+    def stages(chan, hi, lo):
+        for j in range(hi, lo - 1, -1):
+            rolled = _flat_shift_right(chan, 1 << j)
+            bit_rolled = (rolled >> (1 + j)) & 1
+            bit_stay = (chan >> (1 + j)) & 1
+            chan = jnp.where(bit_rolled == 1, rolled,
+                             jnp.where(bit_stay == 0, chan, 0))
+        return chan
+
+    bounds = sorted([g for g in gates if g < d_bits], reverse=True)
+    hi = d_bits - 1
+    for g in bounds:
+        chan = jax.lax.cond(
+            e_sum >= (1 << g),
+            lambda c, g=g, hi=hi: stages(c, hi, g),
+            lambda c: c, chan)
+        hi = g - 1
+    return stages(chan, hi, 0)
+
+
+def _reverse_pull_fused_grouped(chan: jax.Array, d_bits: int, e_sum,
+                                gates=(4, 8)) -> jax.Array:
+    """Mask-free reverse replay with the same range gates (LSB-first, so
+    the gated groups come last)."""
+    def stages(chan, lo, hi):
+        for j in range(lo, hi + 1):
+            pulled = _flat_shift_left(chan, 1 << j)
+            bit_pulled = (pulled >> (1 + j)) & 1
+            bit_stay = (chan >> (1 + j)) & 1
+            chan = jnp.where(bit_pulled == 1, pulled,
+                             jnp.where(bit_stay == 0, chan, 0))
+        return chan
+
+    bounds = sorted([g for g in gates if g < d_bits])
+    chan = stages(chan, 0, (bounds[0] - 1) if bounds else d_bits - 1)
+    for k, g in enumerate(bounds):
+        hi_k = (bounds[k + 1] - 1) if k + 1 < len(bounds) else d_bits - 1
+        chan = jax.lax.cond(
+            e_sum >= (1 << g),
+            lambda c, g=g, hi_k=hi_k: stages(c, g, hi_k),
+            lambda c: c, chan)
     return chan
 
 
@@ -451,7 +507,12 @@ def decode_w2_general(keys: jax.Array, data_expanded: jax.Array,
 
 def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
                            bpr: int = 0,
-                           sparse_max: int = SPARSE_REPLAY_MAX):
+                           sparse_max: int = SPARSE_REPLAY_MAX,
+                           stub: str = ""):
+    # ``stub`` ("dense"/"sparse") replaces that replay branch with a no-op
+    # slice — WRONG results for blocks in that regime; measurement hook for
+    # quantifying the cost a cond branch's statically allocated temporaries
+    # impose on grid steps that never take it (tools/ab_dead_branch.py).
     # Payload (16-bit w) and displacement share one i32 token when
     # 1 + d_bits + 16 <= 32 (slack <= 16384); the general variant
     # (slack = block) pulls w as a separate extras channel.
@@ -548,6 +609,22 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
             w16 = w16[:RV]
             return (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
 
+        def _replayed_grouped(fetched):
+            # The dense ladder with range-gated stage groups (sparse_max
+            # == -1): log-depth replay whose ACTIVE depth adapts to e_sum
+            # through two conds — the candidate replacement for the
+            # linear-in-e_sum sparse levels (tools/ab_gated_ladder.py).
+            w = fetched | ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
+            E = _flat_psum_mxu(c) - c
+            zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
+            chanE = jnp.concatenate([(E << 1) | 1, zeros_rest], axis=0)
+            chanE = _route_fwd_disp_grouped(chanE, d_bits, e_sum)
+            assert 1 + d_bits + 16 <= 32
+            chan = chanE | (w << (1 + d_bits))
+            chan = _reverse_pull_fused_grouped(chan, d_bits, e_sum)
+            w16 = ((chan >> (1 + d_bits)) & 0xFFFF)[:RV]
+            return (w16 & 0xFF) | (((w16 >> 8) & 0xFF) * c << 8)
+
         def _sparse(fetched):
             # Sparse per-level select replay: value slot i reads stream
             # slot i + E(i); E is monotone and bounded by e_sum, so one
@@ -599,14 +676,56 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
                     lambda args: args, (cur, res))
             return (res & 0xFF) | (((res >> 8) & 0xFF) * c << 8)
 
-        # All-code-0 block: every byte at slot i IS value i — no candidate
-        # assembly, no replay.
-        vals = jax.lax.cond(
-            e_sum > 0,
-            lambda f: jax.lax.cond(e_sum <= sparse_max, _sparse, _replayed,
-                                   f)
-            if sparse_max else _replayed(f),
-            lambda f: f[:RV], fetched)
+        if stub == "dense":
+            _replayed = lambda f: f[:RV]  # noqa: E731
+        elif stub == "sparse":
+            _sparse = lambda f: f[:RV]  # noqa: E731
+
+        if stub.startswith("probe:"):
+            # Attribution probes (tools/ab_dec_attrib.py): straight-line
+            # partial pipelines, WRONG output, constant downstream cost —
+            # pairwise deltas give per-component times.
+            mode = stub.split(":", 1)[1]
+            if mode == "none":
+                vals = fetched[:RV]
+            else:
+                E = _flat_psum_mxu(c) - c
+                if mode == "psum":
+                    vals = fetched[:RV] | (E & 1)
+                else:
+                    w = fetched | ((_flat_shift_left(fetched, 1)
+                                    & 0xFF) << 8)
+                    if mode == "asm":
+                        vals = w[:RV] | (E & 1)
+                    else:
+                        K = int(mode[3:])   # "lvlK": K select levels
+                        cur = w[:RV + 1]
+                        res = cur[:RV]
+                        for d in range(1, K + 1):
+                            cur = _flat_shift_left(cur, 1)
+                            res = jnp.where(E == d, cur[:RV], res)
+                        vals = res
+        else:
+            # All-code-0 block: every byte at slot i IS value i — no
+            # candidate assembly, no replay.
+            can_group = 1 + d_bits + 16 <= 32 and not _FORCE_SPLIT_REPLAY
+            if sparse_max == -1 and can_group:
+                replay = _replayed_grouped
+            elif sparse_max == -2 and can_group:
+                # Hybrid (production default since r5): gated ladder for
+                # the low-e_sum regimes (chip A/B: realistic dec +13%
+                # over the sparse levels), straight-line ladder above
+                # (the gate conds cost ~15% on mixed when every group
+                # runs anyway).
+                replay = lambda f: jax.lax.cond(  # noqa: E731
+                    e_sum <= 255, _replayed_grouped, _replayed, f)
+            elif sparse_max > 0:
+                replay = lambda f: jax.lax.cond(  # noqa: E731
+                    e_sum <= sparse_max, _sparse, _replayed, f)
+            else:
+                replay = _replayed
+            vals = jax.lax.cond(e_sum > 0, replay,
+                                lambda f: f[:RV], fetched)
 
         u = jax.lax.bitcast_convert_type(vals, jnp.uint32)
         neg = jnp.uint32(0) - (u & 1)
@@ -631,16 +750,17 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("block", "flavor", "slack",
-                                    "sparse_max"))
+                                    "sparse_max", "stub"))
 def decode_w2(keys: jax.Array, data_expanded: jax.Array,
               block_offsets: jax.Array, block: int = 32768,
               flavor: str = "zz16", slack: int = 2048,
-              sparse_max: int = SPARSE_REPLAY_MAX):
+              sparse_max: int = SPARSE_REPLAY_MAX, stub: str = ""):
     """Inverse of :func:`encode_w2`; ``data_expanded`` holds one true byte
     per element (i8/u8). Caller contract as codec4. ``sparse_max`` bounds
-    the sparse per-level replay regime (0 forces the dense ladder)."""
+    the sparse per-level replay regime (0 forces the dense ladder).
+    ``stub`` is a measurement-only hook (see ``_decode_kernel_factory``)."""
     assert flavor in W2_FLAVORS
-    assert 0 <= sparse_max < LANES
+    assert -2 <= sparse_max < LANES  # -1: gated ladder; -2: hybrid
     N = keys.shape[0] * 4
     assert N % block == 0 and block % 512 == 0
     assert slack % LANES == 0 and 0 < slack <= block
@@ -666,7 +786,7 @@ def decode_w2(keys: jax.Array, data_expanded: jax.Array,
 
     out = pl.pallas_call(
         _decode_kernel_factory(d_bits, flavor, slack,
-                               sparse_max=sparse_max),
+                               sparse_max=sparse_max, stub=stub),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((KR, LANES), lambda i: (i, 0),
