@@ -88,8 +88,11 @@ def main() -> None:
             - xg.astype(jnp.int32)))[None][0])
 
     cases = 0
-    for e in (0, 1, 3, 4, 5, 7, 8, 9, 12, 13, 15, 16, 17, 20, 100, 650,
-              1500, 2047, 2048):
+    # e values straddle every decode-dispatch boundary: the gated-ladder
+    # group thresholds (e_sum 16 and 256), the hybrid's grouped/straight
+    # switch (255/256), and the compact-overflow transition (2048).
+    for e in (0, 1, 3, 4, 5, 7, 8, 9, 12, 13, 15, 16, 17, 20, 100,
+              254, 255, 256, 257, 650, 1500, 2047, 2048):
         m = roundtrip(make_sig(e))
         assert m == 0, f"boundary e={e}: mismatch {m}"
         cases += 1
@@ -99,6 +102,39 @@ def main() -> None:
                       30000).astype(np.int16)
         m = roundtrip(sig)
         assert m == 0, f"sigma={sigma}: mismatch {m}"
+        cases += 1
+
+    # Dense leftward network gate boundaries (c0_sum 512 and 8192): mix
+    # incompressible content with exactly c0 small values per block.
+    from vbz_compression_tpu.ops import pallas_dense as pcd
+
+    @jax.jit
+    def encd(x):
+        return pcd.encode_w2_dense(x, block=BLOCK)
+
+    @jax.jit
+    def decd(k, d):
+        return pcd.decode_w2_dense(
+            k, d, pc5.block_offsets_from_keys_flat(k, BLOCK), block=BLOCK)
+
+    for c0 in (0, 1, 511, 512, 513, 8191, 8192, 8193, 40000):
+        sig = rng.integers(-32768, 32767, N, dtype=np.int16)
+        # zigzag(delta) < 256 <=> code 0; plant c0 tiny deltas per block
+        for b in range(N // BLOCK):
+            base = b * BLOCK
+            idx = (base + 1 + np.arange(c0) * (BLOCK // max(c0, 1)
+                                               - 1))[:c0]
+            for pos in idx:
+                sig[pos] = np.int16((int(sig[pos - 1]) + 5) & 0xFFFF)
+        xg = jax.device_put(jnp.asarray(sig))
+        kg, dg, _t = encd(xg)
+        keys_np = np.asarray(kg)
+        ref = scalar.svb_compress(sig, 2, True, 0)
+        assert keys_np[: N // 4].tobytes() == ref[: N // 4], \
+            f"dense c0={c0}: wire key mismatch"
+        m = int(jnp.sum(jnp.abs(decd(kg, dg).astype(jnp.int32)
+                                - xg.astype(jnp.int32)))[None][0])
+        assert m == 0, f"dense c0={c0}: mismatch {m}"
         cases += 1
     print(json.dumps({"boundary_chip": "ok", "cases": cases,
                       "platform": jax.devices()[0].platform}))

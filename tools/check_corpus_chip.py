@@ -36,7 +36,7 @@ def fence(arr):
     return float(jnp.sum(arr.astype(jnp.int32).ravel()[:8])[None][0])
 
 
-def make_corpus(n_reads: int = 64, seed: int = 21):
+def make_corpus(n_reads: int = 256, seed: int = 21):
     """Pseudo-reads like the reference SignalGenerator: lengths cycle
     30k-125k samples, sigma-12 walk content with read-boundary jumps."""
     rng = np.random.default_rng(seed)
