@@ -167,13 +167,13 @@ def tpu_codec_gbps() -> dict:
         BLOCK_G = 65536
 
         @jax.jit
-        def enc_g(x):
-            return pcd.encode_w2_dense(x, block=BLOCK_G)
+        def enc_g(x2):
+            return pcd.encode_w2_dense_rows_flat(x2, B, block=BLOCK_G)
 
         @jax.jit
-        def dec_g(keys, data):
-            boffs = pc5.block_offsets_from_keys_flat(keys, BLOCK_G)
-            return pcd.decode_w2_dense(keys, data, boffs, block=BLOCK_G)
+        def dec_g(keys2, data):
+            return pcd.decode_w2_dense_rows_flat(keys2, data, B,
+                                                 block=BLOCK_G)
 
         @jax.jit
         def mismatch(x, o):
@@ -197,16 +197,15 @@ def tpu_codec_gbps() -> dict:
                 dec_calls = [lambda k2=k2, d=d: dec_r(k2, d)]
                 n_per_call = B * N
             else:
-                # Dense-regime fallback: per-row leftward-network kernels.
-                xs = [jax.device_put(jnp.asarray(row)) for row in rows]
-                encoded = [enc_g(x)[:2] for x in xs]
-                for x, (k, dd) in zip(xs, encoded):
-                    m = int(mismatch(x, dec_g(k, dd))[None][0])
-                    assert m == 0, f"round-trip mismatch ({tier}): {m}"
-                enc_calls = [lambda row=row: enc_g(row)[1] for row in xs]
-                dec_calls = [lambda k=k, dd=dd: dec_g(k, dd)
-                             for k, dd in encoded]
-                n_per_call = N
+                # Dense-regime fallback: BATCHED leftward-network kernels
+                # (one kernel program for the batch, like the compact
+                # path; batched dense enc measured +40% over per-row).
+                kg2, dg, _lg = enc_g(x2)
+                m = int(mismatch(x2, dec_g(kg2, dg))[None][0])
+                assert m == 0, f"round-trip mismatch ({tier}): {m}"
+                enc_calls = [lambda x2=x2: enc_g(x2)[1]]
+                dec_calls = [lambda kg2=kg2, dg=dg: dec_g(kg2, dg)]
+                n_per_call = B * N
             print(f"# {tier}: pallas kernels "
                   f"({'compact batched' if compact else 'dense'})",
                   file=sys.stderr)

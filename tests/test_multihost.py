@@ -34,17 +34,16 @@ def test_overflow_fallback_batched(monkeypatch):
     """A majority-overflow bucket re-encodes ALL overflowing rows in ONE
     batched general-kernel call, not a per-row device-call loop (a dense
     corpus would otherwise degrade to B dispatches — VERDICT r4 #7)."""
-    from vbz_compression_tpu.ops import pallas_codec5 as pc5
+    from vbz_compression_tpu.ops import pallas_dense as pcd
 
     general_calls = []
-    orig = pc5.encode_w2_rows_flat
+    orig = pcd.encode_w2_dense_rows_flat
 
     def counting(x2, batch, **kw):
-        if kw.get("slack") == kw.get("block"):   # general (slack = block)
-            general_calls.append(batch)
+        general_calls.append(batch)
         return orig(x2, batch, **kw)
 
-    monkeypatch.setattr(pc5, "encode_w2_rows_flat", counting)
+    monkeypatch.setattr(pcd, "encode_w2_dense_rows_flat", counting)
     rng = np.random.default_rng(3)
     signals = [rng.integers(-30000, 30000, 20_000, dtype=np.int16)
                for _ in range(5)]

@@ -616,3 +616,33 @@ def test_dense_both_gates():
     sig = np.clip(500 + np.cumsum(rng.normal(0, 12, 16384)),
                   -2000, 2000).astype(np.int16)
     _roundtrip_dense(sig, 16384)
+
+
+def test_dense_rows_flat_roundtrip():
+    """Batched dense kernels: per-row state resets, per-row output
+    regions, byte-exact vs the scalar oracle per row."""
+    rng = np.random.default_rng(11)
+    B, N, block = 3, 2048, 512
+    rows = [rng.integers(-32768, 32767, N).astype(np.int16)
+            for _ in range(B)]
+    rows[1][:512] = np.clip(500 + np.cumsum(
+        rng.normal(0, 12, 512)), -2000, 2000).astype(np.int16)
+    batch = np.stack(rows)
+    x2 = jnp.asarray(batch.reshape(B * N // 128, 128))
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, lens = pcd.encode_w2_dense_rows_flat(
+            x2, B, block=block)
+    stride = pcd._row_stride_dense(N, block)
+    keys_np = np.asarray(keys).reshape(B, N // 4)
+    data_np = np.asarray(data).astype(np.uint8).reshape(B, stride)
+    lens_np = np.asarray(lens)
+    for i, sig in enumerate(rows):
+        ref = scalar.svb_compress(sig, 2, True, 0)
+        got = keys_np[i].tobytes() + data_np[i, :lens_np[i]].tobytes()
+        assert got == ref, f"row {i} stream mismatch"
+    with pltpu.force_tpu_interpret_mode():
+        out = pcd.decode_w2_dense_rows_flat(
+            jnp.asarray(np.asarray(keys)), jnp.asarray(np.asarray(data)),
+            B, block=block)
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(B, N), batch)

@@ -61,7 +61,9 @@ from .pallas_codec5 import (
     _flat_psum_mxu16,
 )
 
-__all__ = ["encode_w2_dense", "decode_w2_dense"]
+__all__ = ["encode_w2_dense", "decode_w2_dense",
+           "encode_w2_dense_rows_flat",
+           "decode_w2_dense_rows_flat"]
 
 # Range-gate boundaries for the leftward stages: stages j >= GATES[k] run
 # behind one cond on c0_sum >= 2^GATES[k] (sound: D <= c0_sum, so higher
@@ -189,7 +191,11 @@ def _pull_msb_right(chan: jax.Array, d_bits: int, d_shift: int,
     return chan
 
 
-def _encode_dense_kernel_factory(d_bits: int, flavor: str):
+def _encode_dense_kernel_factory(d_bits: int, flavor: str, bpr: int = 0,
+                                 stride: int = 0):
+    # ``bpr``/``stride``: blocks per row and per-row output region for
+    # BATCHED grids (the codec5 rows_flat pattern: the flat grid walks
+    # rows back-to-back, per-row state resets at row boundaries).
     ext_rows = _ext_bytes(0) // LANES  # alignment headroom only
 
     def _kernel(x_ref, keys_ref, data_ref, total_ref, state_ref,
@@ -199,8 +205,17 @@ def _encode_dense_kernel_factory(d_bits: int, flavor: str):
         SR = 2 * RV + ext_rows
         k = pl.program_id(0)
         nblocks = pl.num_programs(0)
+        if bpr:
+            lk = jax.lax.rem(k, bpr)
+            row = jax.lax.div(k, bpr)
+            row_last = lk == bpr - 1
+            base = row * stride
+        else:
+            lk, row = k, 0
+            row_last = k == nblocks - 1
+            base = 0
 
-        @pl.when(k == 0)
+        @pl.when(lk == 0)
         def _():
             state_ref[0] = 0
             state_ref[1] = 0
@@ -245,7 +260,7 @@ def _encode_dense_kernel_factory(d_bits: int, flavor: str):
                 stage_ref, data_ref.at[pl.ds(0, SR * LANES)], sem).wait()
         stage_ref[:] = staged.astype(jnp.int8).reshape(SR * LANES)
 
-        wa = pl.multiple_of(off - a, AG)
+        wa = pl.multiple_of(base + off - a, AG)
         copy = pltpu.make_async_copy(
             stage_ref, data_ref.at[pl.ds(wa, SR * LANES)], sem)
         copy.start()
@@ -264,9 +279,9 @@ def _encode_dense_kernel_factory(d_bits: int, flavor: str):
         carry_ref[:] = jnp.where(cidx < na, tail[:AG_ROWS], 0)
         state_ref[0] = new_off
 
-        @pl.when(k == nblocks - 1)
+        @pl.when(row_last)
         def _():
-            total_ref[0] = new_off
+            total_ref[row if bpr else 0] = new_off
 
     return _kernel
 
@@ -320,7 +335,61 @@ def encode_w2_dense(x: jax.Array, block: int = 65536,
     return keys.reshape(N // 4), data_x, total[0]
 
 
-def _decode_dense_kernel_factory(d_bits: int, flavor: str):
+def _row_stride_dense(N: int, block: int) -> int:
+    """Per-row output region for the batched dense layout (worst case all
+    two-byte values + the staging span + alignment)."""
+    out_len = 2 * N + 2 * block + _ext_bytes(0) + 2 * AG
+    return -(-out_len // AG) * AG
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "block", "flavor"))
+def encode_w2_dense_rows_flat(x2: jax.Array, batch: int,
+                              block: int = 65536, flavor: str = "zz16"):
+    """Batched dense encode in the kernels' native flat layout (the codec5
+    rows_flat pattern — one kernel program per batch, per-row state
+    resets, no XLA relayouts). Returns ``(keys u8 (batch*N//512, 128),
+    data i8 (batch*stride,), data_lens i32 [batch])``."""
+    assert flavor == "zz16"
+    R, lanes = x2.shape
+    assert lanes == LANES and x2.dtype == _INPUT_DTYPE[flavor]
+    B = batch
+    assert R % B == 0
+    N = R // B * LANES
+    assert N % block == 0 and block % 512 == 0
+    d_bits = max((block - 1).bit_length(), 1)
+    nb = N // block
+    RV = block // LANES
+    stride = _row_stride_dense(N, block)
+    KR = RV // 4
+
+    keys, data_x, totals = pl.pallas_call(
+        _encode_dense_kernel_factory(d_bits, flavor, bpr=nb, stride=stride),
+        grid=(B * nb,),
+        in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * N // 512, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((B * stride,), jnp.int8),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((AG_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((2 * block + _ext_bytes(0),), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x2)
+    return keys, data_x, totals
+
+
+def _decode_dense_kernel_factory(d_bits: int, flavor: str, bpr: int = 0):
     ext_rows = _ext_bytes(0) // LANES
 
     def _kernel(keys_ref, boff_ref, data_ref, out_ref, state_ref,
@@ -329,8 +398,9 @@ def _decode_dense_kernel_factory(d_bits: int, flavor: str):
         V = RV * LANES
         k = pl.program_id(0)
         nblocks = pl.num_programs(0)
+        row_first = jax.lax.rem(k, bpr) == 0 if bpr else k == 0
 
-        @pl.when(k == 0)
+        @pl.when(row_first)
         def _():
             state_ref[0] = 0
 
@@ -472,3 +542,68 @@ def decode_w2_dense(keys: jax.Array, data_expanded: jax.Array,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(keys2, block_offsets.astype(jnp.int32), data2)
     return out.reshape(N)
+
+
+def _block_offsets_rows_dense(keys2: jax.Array, batch: int, block: int,
+                              stride: int) -> jax.Array:
+    """Per-block data offsets from the flat key layout, each row based at
+    ``row * stride`` (the batched dense data layout)."""
+    kb = keys2.astype(jnp.int32)
+    extra = (((kb & 3) != 0).astype(jnp.int32)
+             + (((kb >> 2) & 3) != 0).astype(jnp.int32)
+             + (((kb >> 4) & 3) != 0).astype(jnp.int32)
+             + (((kb >> 6) & 3) != 0).astype(jnp.int32))
+    per_keyrow = extra.sum(axis=1)
+    bsum = block + per_keyrow.reshape(batch, -1, block // 512).sum(axis=2)
+    offs = jnp.cumsum(bsum, axis=1) - bsum
+    offs = offs + stride * jnp.arange(batch, dtype=jnp.int32)[:, None]
+    return offs.reshape(-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "block", "flavor"))
+def decode_w2_dense_rows_flat(keys2: jax.Array, data_expanded: jax.Array,
+                              batch: int, block: int = 65536,
+                              flavor: str = "zz16"):
+    """Inverse of :func:`encode_w2_dense_rows_flat` (flat layouts both
+    sides); returns ``(batch*N//128, 128)``."""
+    assert flavor == "zz16"
+    B = batch
+    KRALL, lanes = keys2.shape
+    assert lanes == LANES and KRALL % B == 0
+    N = KRALL // B * 512
+    assert N % block == 0 and block % 512 == 0
+    d_bits = max((block - 1).bit_length(), 1)
+    nb = N // block
+    RV = block // LANES
+    stride = _row_stride_dense(N, block)
+    assert data_expanded.shape == (B * stride,), \
+        f"want data ({B * stride},), got {data_expanded.shape}"
+
+    boffs = _block_offsets_rows_dense(keys2, B, block, stride)
+    data2 = data_expanded.astype(jnp.int8).reshape(-1, LANES)
+    KR = RV // 4
+    fw = 2 * block + _ext_bytes(0)
+
+    out = pl.pallas_call(
+        _decode_dense_kernel_factory(d_bits, flavor, bpr=nb),
+        grid=(B * nb,),
+        in_specs=[
+            pl.BlockSpec((KR, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((RV, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B * N // LANES, LANES), _INPUT_DTYPE[flavor]),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((fw // LANES, LANES), jnp.int8),
+            pltpu.VMEM((fw // LANES, LANES), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(keys2, boffs, data2)
+    return out

@@ -193,27 +193,26 @@ def compress_signals(signals: list[np.ndarray],
             keys_np = np.asarray(keys).reshape(Bb, b // 4)
             data_np = np.asarray(data).reshape(Bb, -1)
 
-            # Compact-budget overflow (dense content): ONE batched general-
-            # kernel call over exactly the overflowing rows (slack = block,
-            # so re-overflow is impossible; same wire format). A per-row
-            # device-call loop here degraded mostly-incompressible corpora
-            # to B dispatches (VERDICT r4 #7).
+            # Compact-budget overflow (dense content): ONE batched call
+            # over exactly the overflowing rows through the round-5 dense
+            # leftward network (no overflow concept; same wire format;
+            # hard-content enc +39% over the general kernel and batched
+            # +40% over per-row — tools/ab_dense.py). A per-row
+            # device-call loop here degraded mostly-incompressible
+            # corpora to B dispatches (VERDICT r4 #7).
             ovf_rows = [row for row in range(len(idxs)) if ovf_np[row]]
             kg_np = dg_np = None
             if ovf_rows:
-                from ..ops import pallas_codec5 as pc5
+                from ..ops import pallas_dense as pcd
 
                 import jax.numpy as jnp
 
-                # Block 16384 keeps the general kernel on its
-                # single-channel (packed-word) routing.
-                gblk = min(16384, blk)
                 Bo = len(ovf_rows)
                 xg = np.ascontiguousarray(batch[ovf_rows])
                 with ctx():
-                    kg, dg, _lens_g, _ovf_g = pc5.encode_w2_rows_flat(
+                    kg, dg, _lens_g = pcd.encode_w2_dense_rows_flat(
                         jnp.asarray(xg.reshape(Bo * b // 128, 128)), Bo,
-                        block=gblk, flavor="zz16", slack=gblk)
+                        block=blk)
                 kg_np = np.asarray(kg).reshape(Bo, b // 4)
                 dg_np = np.asarray(dg).reshape(Bo, -1)
             ovf_pos = {row: j for j, row in enumerate(ovf_rows)}
