@@ -122,10 +122,15 @@ def main() -> None:
         # zigzag(delta) < 256 <=> code 0; plant c0 tiny deltas per block
         for b in range(N // BLOCK):
             base = b * BLOCK
-            idx = (base + 1 + np.arange(c0) * (BLOCK // max(c0, 1)
-                                               - 1))[:c0]
+            step = max(BLOCK // max(c0, 1) - 1, 1)
+            idx = (base + 1 + np.arange(c0) * step)[:c0]
+            idx = idx[idx < base + BLOCK]
+            # dense plants overflow the strided layout: go contiguous
+            if idx.size < c0:
+                idx = base + 1 + np.arange(c0)
             for pos in idx:
-                sig[pos] = np.int16((int(sig[pos - 1]) + 5) & 0xFFFF)
+                v = (int(sig[pos - 1]) + 5) & 0xFFFF
+                sig[pos] = v - 65536 if v >= 32768 else v
         xg = jax.device_put(jnp.asarray(sig))
         kg, dg, _t = encd(xg)
         keys_np = np.asarray(kg)

@@ -739,11 +739,16 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
             out_ref[:] = out16.astype(jnp.uint16).astype(jnp.int16)
             state_ref[0] = _last_slot(out16)
         else:  # zz8
-            delta = jax.lax.bitcast_convert_type((u >> 1) ^ neg,
-                                                 jnp.int32)
-            acc = _flat_prefix_sum_incl(delta) + state_ref[0]
-            out_ref[:] = (acc & 0xFF).astype(jnp.uint8).astype(jnp.int8)
-            state_ref[0] = _last_slot(acc)
+            # Only acc mod 2^8 reaches the output, so the un-delta rides
+            # the byte-plane MXU psum (operands <= 255, bf16-exact; row
+            # sums < 2^24) instead of the VPU roll ladder — the "zz8
+            # un-delta MXU psum" round-3 candidate, closed in round 5.
+            delta8 = jax.lax.bitcast_convert_type(
+                ((u >> 1) ^ neg) & 0xFF, jnp.int32)
+            acc = _flat_psum_mxu(delta8) + state_ref[0]
+            out8 = acc & 0xFF
+            out_ref[:] = out8.astype(jnp.uint8).astype(jnp.int8)
+            state_ref[0] = _last_slot(out8)
 
     return _decode_block_kernel
 
