@@ -611,12 +611,21 @@ def _decode_kernel_factory(d_bits: int, flavor: str, slack: int,
 
         def _replayed_grouped(fetched):
             # The dense ladder with range-gated stage groups (sparse_max
-            # == -1): log-depth replay whose ACTIVE depth adapts to e_sum
-            # through two conds — the candidate replacement for the
+            # == -1/-2): log-depth replay whose ACTIVE depth adapts to
+            # e_sum through two conds — the replacement for the
             # linear-in-e_sum sparse levels (tools/ab_gated_ladder.py).
-            w = fetched | ((_flat_shift_left(fetched, 1) & 0xFF) << 8)
+            # Under the HYBRID dispatch this branch only ever serves
+            # e_sum <= 255, so the routed arrays span RV + 8 rows
+            # (stream <= V + 255 bytes, pulls reach <= 1 row past it)
+            # instead of the full RV + ext staging span — ~10% fewer
+            # row-units per stage. sparse_max == -1 (gated ladder for
+            # EVERY replay block) keeps full-size arrays: its tokens can
+            # legitimately move up to the slack budget.
+            GROW = 8 if sparse_max == -2 else ext_rows
+            f = fetched[:RV + GROW]
+            w = f | ((_flat_shift_left(f, 1) & 0xFF) << 8)
             E = _flat_psum_mxu(c) - c
-            zeros_rest = jnp.zeros((ext_rows, LANES), jnp.int32)
+            zeros_rest = jnp.zeros((GROW, LANES), jnp.int32)
             chanE = jnp.concatenate([(E << 1) | 1, zeros_rest], axis=0)
             chanE = _route_fwd_disp_grouped(chanE, d_bits, e_sum)
             assert 1 + d_bits + 16 <= 32
