@@ -646,3 +646,65 @@ def test_dense_rows_flat_roundtrip():
             B, block=block)
     np.testing.assert_array_equal(
         np.asarray(out).reshape(B, N), batch)
+
+
+# ---------------------------------------------------------------------------
+# v1 half-byte kernels (pallas_v1 — the deletion-compaction formulation)
+# ---------------------------------------------------------------------------
+
+from vbz_compression_tpu.ops import pallas_v1 as pv1  # noqa: E402
+
+
+def _roundtrip_v1(sig: np.ndarray, block: int, flavor: str):
+    zz = flavor == "zz8"
+    N = sig.size
+    ref = scalar.svb_compress(sig, 1, zz, 1)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total = pv1.encode_v1(jnp.asarray(sig), block=block,
+                                          flavor=flavor)
+    tn = int(total)
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: (tn + 1) // 2]
+    assert stream == ref, "v1 encode not bit-exact vs the scalar oracle"
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    noffs = pv1.nib_offsets_from_keys(jnp.asarray(keysA), block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pv1.decode_v1(jnp.asarray(keysA),
+                            jnp.asarray(datab.astype(np.int8)), noffs,
+                            block=block, flavor=flavor)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+@pytest.mark.parametrize("flavor", ["zz8", "none8"])
+def test_v1_signal(flavor):
+    rng = np.random.default_rng(0)
+    sig = np.clip(np.cumsum(rng.normal(0, 3, 4096)), -100,
+                  100).astype(np.int8)
+    _roundtrip_v1(sig, 512, flavor)
+
+
+@pytest.mark.parametrize("flavor", ["zz8", "none8"])
+def test_v1_random(flavor):
+    rng = np.random.default_rng(7)
+    _roundtrip_v1(rng.integers(-128, 128, 4096).astype(np.int8), 1024,
+                  flavor)
+
+
+def test_v1_all_codes_and_odd_nibbles():
+    # Every code (0/1/2/3) plus blocks whose nibble counts are ODD — the
+    # cross-block shared-byte carry is the fiddly part of the nibble
+    # machinery.
+    rng = np.random.default_rng(3)
+    sig = np.zeros(2048, np.int8)
+    sig[0::4] = 0                                   # code 0 (zz of 0)
+    sig[1::4] = 1                                   # small deltas: code 1/2
+    sig[2::4] = rng.integers(-128, 128, 512)        # code 2/3 mix
+    sig[3::4] = rng.integers(-8, 8, 512)
+    _roundtrip_v1(sig, 512, "zz8")
+
+
+def test_v1_zero_runs():
+    sig = np.zeros(2048, np.int8)
+    sig[100:110] = 50
+    _roundtrip_v1(sig, 512, "zz8")

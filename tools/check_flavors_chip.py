@@ -148,6 +148,42 @@ def main():
         out[f"{flavor}_decode_gb_s"] = round(dgb, 2)
         print(f"{flavor}: enc {e:.2f} / dec {dgb:.2f} GB/s", flush=True)
 
+    # --- v1 half-byte (int8): the round-5 deletion-compaction kernels ---
+    from vbz_compression_tpu.ops import pallas_v1 as pv1
+
+    sigv1 = np.clip(np.cumsum(
+        np.random.default_rng(6).normal(0, 3, (B, N_W4)), axis=1),
+        -100, 100).astype(np.int8)
+
+    @jax.jit
+    def encv1(x):
+        return pv1.encode_v1(x, block=16384, flavor="zz8")
+
+    @jax.jit
+    def decv1(k, d, noffs):
+        return pv1.decode_v1(k, d, noffs, block=16384, flavor="zz8")
+
+    @jax.jit
+    def offsv1(k):
+        return pv1.nib_offsets_from_keys(k, 16384)
+
+    xs = [jax.device_put(jnp.asarray(row)) for row in sigv1]
+    encoded = []
+    for x in xs:
+        k, d, _t = encv1(x)
+        no = offsv1(k)
+        m = int(mismatch(x, decv1(k, d, no))[None][0])
+        assert m == 0, f"v1 round-trip {m}"
+        encoded.append((k, d, no))
+    nbytes = N_W4
+    out["v1_zz8_encode_gb_s"] = round(
+        measure([lambda x=x: encv1(x)[1] for x in xs], nbytes), 2)
+    out["v1_zz8_decode_gb_s"] = round(
+        measure([lambda k=k, d=d, no=no: decv1(k, d, no)
+                 for k, d, no in encoded], nbytes), 2)
+    print(f"v1_zz8: enc {out['v1_zz8_encode_gb_s']} / "
+          f"dec {out['v1_zz8_decode_gb_s']} GB/s", flush=True)
+
     path = os.path.join(REPO, "FLAVORS_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -294,9 +294,71 @@ class PallasSvbBackend(JaxSvbBackend):
         dense = _trim_u8(data_x, data_len)
         return keys_np[:key_len].tobytes() + dense.tobytes()
 
+    # v1 half-byte device kernels need at least one 16384-value block;
+    # smaller chunks take the CPU/oracle path (the jit-cache bucketing
+    # would pad tiny chunks 100x otherwise).
+    _V1_BLOCK = 16384
+
+    def _v1_compress(self, typed: np.ndarray, use_zigzag: bool) -> bytes:
+        from ..ops import pallas_v1 as pv1
+
+        n = typed.size
+        N = -(-n // self._V1_BLOCK) * self._V1_BLOCK
+        # Pads encode as code 0 (zigzag: repeat the last sample -> delta
+        # 0; identity: value 0), contributing no nibbles or key bits.
+        fill = typed[-1] if use_zigzag else 0
+        x = np.full(N, fill, dtype=np.int8)
+        x[:n] = typed
+        keys, data, total = pv1.encode_v1(
+            jnp.asarray(x), block=self._V1_BLOCK,
+            flavor="zz8" if use_zigzag else "none8")
+        tn = int(total[None][0])
+        key_len = (n + 3) // 4
+        keys_np = np.asarray(keys)
+        data_np = np.asarray(data).astype(np.uint8)
+        return keys_np[:key_len].tobytes() + \
+            data_np[: (tn + 1) // 2].tobytes()
+
+    def _v1_decompress(self, buf: np.ndarray, count: int,
+                       use_zigzag: bool) -> np.ndarray:
+        from ..ops import pallas_v1 as pv1
+
+        key_len = (count + 3) // 4
+        if buf.size < key_len:
+            raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR, "stream too short")
+        keys = buf[:key_len]
+        codes = (np.repeat(keys, 4) >> np.tile(
+            np.array([0, 2, 4, 6], np.uint8), key_len)) & 3
+        if (codes[count:] != 0).any():
+            raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR,
+                           "nonzero trailing key bits")
+        ncounts = (np.int64(1) << codes[:count].astype(np.int64)) >> 1
+        total_nib = int(ncounts.sum())
+        # streamvbyte_validate_stream_half semantics (v1/impl.h:183-216).
+        if key_len + (total_nib + 1) // 2 != buf.size:
+            raise VbzError(VBZ_STREAMVBYTE_STREAM_ERROR,
+                           "stream length mismatch")
+        N = -(-count // self._V1_BLOCK) * self._V1_BLOCK
+        keys_pad = np.zeros(N // 4, np.uint8)
+        keys_pad[:key_len] = keys
+        kj = jnp.asarray(keys_pad)
+        noffs = pv1.nib_offsets_from_keys(kj, self._V1_BLOCK)
+        out = pv1.decode_v1(
+            kj, jnp.asarray(buf[key_len:].astype(np.int8)), noffs,
+            block=self._V1_BLOCK,
+            flavor="zz8" if use_zigzag else "none8")
+        return np.asarray(out)[:count]
+
     def svb_compress(self, data, integer_size: int, use_zigzag: bool,
                      version: int) -> bytes:
-        if not self._pallas_ok() or (version == 1 and integer_size == 1):
+        v1_int8 = version == 1 and integer_size == 1
+        if v1_int8 and self._pallas_ok():
+            # Round-5 v1 nibble device kernels (deletion-compaction
+            # network, pallas_v1) — large chunks only.
+            typed = self._typed_input(data, 1)
+            if typed.size >= self._V1_BLOCK:
+                return self._v1_compress(typed, use_zigzag)
+        if not self._pallas_ok() or v1_int8:
             cpu = self._cpu_fallback()
             if cpu is not None:
                 return cpu.svb_compress(data, integer_size, use_zigzag,
@@ -440,7 +502,11 @@ class PallasSvbBackend(JaxSvbBackend):
 
     def svb_decompress(self, stream, count: int, integer_size: int,
                        use_zigzag: bool, version: int) -> np.ndarray:
-        if not self._pallas_ok() or (version == 1 and integer_size == 1):
+        v1_int8 = version == 1 and integer_size == 1
+        if v1_int8 and self._pallas_ok() and count >= self._V1_BLOCK:
+            return self._v1_decompress(self._as_u8(stream), count,
+                                       use_zigzag)
+        if not self._pallas_ok() or v1_int8:
             cpu = self._cpu_fallback()
             if cpu is not None:
                 return cpu.svb_decompress(stream, count, integer_size,
