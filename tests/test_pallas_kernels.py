@@ -708,3 +708,63 @@ def test_v1_zero_runs():
     sig = np.zeros(2048, np.int8)
     sig[100:110] = 50
     _roundtrip_v1(sig, 512, "zz8")
+
+
+# ---------------------------------------------------------------------------
+# W4 deletion-compaction kernels (pallas_w4)
+# ---------------------------------------------------------------------------
+
+from vbz_compression_tpu.ops import pallas_w4 as pw4  # noqa: E402
+
+_W4_ISZ = {"zz32": 4, "none32": 4, "none16": 2, "none8": 1}
+
+
+def _roundtrip_w4_dense(sig: np.ndarray, block: int, flavor: str):
+    N = sig.size
+    ref = scalar.svb_compress(sig, _W4_ISZ[flavor], flavor == "zz32", 0)
+    with pltpu.force_tpu_interpret_mode():
+        keys, data, total = pw4.encode_w4_dense(jnp.asarray(sig),
+                                                block=block, flavor=flavor)
+    stream = np.asarray(keys).tobytes() + \
+        np.asarray(data).astype(np.uint8).tobytes()[: int(total)]
+    assert stream == ref, "w4-dense encode not bit-exact"
+    keysA = np.frombuffer(ref[: N // 4], np.uint8)
+    datab = np.frombuffer(ref[N // 4:], np.uint8)
+    boffs = pw4.byte_offsets_from_keys_w4(jnp.asarray(keysA), block)
+    with pltpu.force_tpu_interpret_mode():
+        out = pw4.decode_w4_dense(
+            jnp.asarray(keysA), jnp.asarray(datab.astype(np.int8)), boffs,
+            block=block, flavor=flavor)
+    np.testing.assert_array_equal(np.asarray(out), sig)
+
+
+def test_w4_dense_zz32():
+    rng = np.random.default_rng(0)
+    _roundtrip_w4_dense(
+        np.cumsum(rng.integers(-300000, 300000, 2048)).astype(np.int32),
+        512, "zz32")
+
+
+def test_w4_dense_none16_signed():
+    rng = np.random.default_rng(1)
+    _roundtrip_w4_dense(
+        rng.integers(-2000, 2000, 2048).astype(np.int16), 512, "none16")
+
+
+def test_w4_dense_none8():
+    rng = np.random.default_rng(2)
+    _roundtrip_w4_dense(
+        rng.integers(-128, 128, 2048).astype(np.int8), 512, "none8")
+
+
+def test_w4_dense_none32_multiblock():
+    rng = np.random.default_rng(3)
+    _roundtrip_w4_dense(
+        rng.integers(0, 1 << 28, 4096, dtype=np.int32), 1024, "none32")
+
+
+def test_w4_dense_all_code_boundaries():
+    # Values at each byte-length boundary (255/256, 65535/65536, 2^24)
+    vals = np.array([0, 1, 255, 256, 65535, 65536, (1 << 24) - 1, 1 << 24]
+                    * 256, np.int32)
+    _roundtrip_w4_dense(vals, 512, "none32")

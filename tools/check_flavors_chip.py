@@ -6,7 +6,8 @@ PRODUCTION device backends (the same routing models/codec.py uses):
 
   zz8           pallas_codec5 rows_flat (W2, int8 data plane)
   zz32/none32/
-  none16/none8  pallas_codec3 W4 kernels (block <= 8192)
+  none16/none8  pallas_w4 deletion-compaction kernels (block 16384;
+                codec3 W4 remains the sub-16K-chunk fallback)
 
 Writes FLAVORS_r05.json: per-flavor encode/decode GB/s (slope method) and
 an on-device round-trip assert. Run on the real chip (no JAX_PLATFORMS).
@@ -117,33 +118,38 @@ def main():
     print(f"zz8: enc {out['zz8_encode_gb_s']} / dec {out['zz8_decode_gb_s']}"
           " GB/s", flush=True)
 
-    # --- W4 flavors: codec3 kernels, production blocks ---
+    # --- W4 flavors: the r5 deletion-compaction kernels (production) ---
+    from vbz_compression_tpu.ops import pallas_w4 as pw4
+
     for flavor in ("zz32", "none32", "none16", "none8"):
         sig = content(flavor)
         isz = sig.dtype.itemsize
-        four = True
-        block = 8192
 
         @jax.jit
-        def enc(x, flavor=flavor, block=block):
-            return pc3.encode_w4(x, block=block, flavor=flavor)
+        def enc(x, flavor=flavor):
+            return pw4.encode_w4_dense(x, block=16384, flavor=flavor)
 
         @jax.jit
-        def dec(keys, data, flavor=flavor, block=block):
-            boffs = pc3.block_offsets_from_keys(keys, block,
-                                                four_byte_codes=True)
-            return pc3.decode_w4(keys, data, boffs, block=block,
-                                 flavor=flavor)
+        def dec(keys, data, boffs, flavor=flavor):
+            return pw4.decode_w4_dense(keys, data, boffs, block=16384,
+                                       flavor=flavor)
+
+        @jax.jit
+        def offs(keys):
+            return pw4.byte_offsets_from_keys_w4(keys, 16384)
 
         xs = [jax.device_put(jnp.asarray(row)) for row in sig]
-        encoded = [enc(x)[:2] for x in xs]
-        for x, (k, dd) in zip(xs, encoded):
-            m = int(mismatch(x, dec(k, dd))[None][0])
+        encoded = []
+        for x in xs:
+            k, dd, _t = enc(x)
+            bo = offs(k)
+            m = int(mismatch(x, dec(k, dd, bo))[None][0])
             assert m == 0, f"{flavor} round-trip {m}"
+            encoded.append((k, dd, bo))
         nbytes = sig.shape[1] * isz
         e = measure([lambda x=x: enc(x)[1] for x in xs], nbytes)
-        dgb = measure([lambda k=k, dd=dd: dec(k, dd)
-                       for k, dd in encoded], nbytes)
+        dgb = measure([lambda k=k, dd=dd, bo=bo: dec(k, dd, bo)
+                       for k, dd, bo in encoded], nbytes)
         out[f"{flavor}_encode_gb_s"] = round(e, 2)
         out[f"{flavor}_decode_gb_s"] = round(dgb, 2)
         print(f"{flavor}: enc {e:.2f} / dec {dgb:.2f} GB/s", flush=True)

@@ -225,7 +225,14 @@ class PallasSvbBackend(JaxSvbBackend):
         x[:n] = typed
         xj = jnp.asarray(x)
         ovf = None
-        if wide:
+        if wide and N >= 16384:
+            # Round-5 W4 deletion-compaction kernels: 2.2-4.4x the codec3
+            # W4 plane on chip (tools ledger; zz32 enc 13.0 vs 4.1).
+            from ..ops import pallas_w4 as pw4
+
+            keys, data_x, _ = pw4.encode_w4_dense(xj, block=16384,
+                                                  flavor=flavor)
+        elif wide:
             keys, data_x, _ = pc3.encode_w4(xj, block=block, flavor=flavor)
         elif block >= _PC4_MIN_BLOCK:
             # v5 kernels (alignment-split routing, in-kernel MXU key pack,
@@ -432,7 +439,15 @@ class PallasSvbBackend(JaxSvbBackend):
         # Pad codes are 0 → each pad value reads 1 byte past the real data;
         # supply zeros there (the kernel pads the expanded buffer itself).
         data_np = buf[key_len:].astype(np.int32)
-        if wide:
+        if wide and N >= 16384:
+            from ..ops import pallas_w4 as pw4
+
+            kj = jnp.asarray(keys_pad)
+            out = pw4.decode_w4_dense(
+                kj, jnp.asarray(buf[key_len:].astype(np.int8)),
+                pw4.byte_offsets_from_keys_w4(kj, 16384),
+                block=16384, flavor=flavor)
+        elif wide:
             boffs = _pc3.block_offsets_from_keys(
                 jnp.asarray(keys_pad), block, four_byte_codes=True)
             out = _pc3.decode_w4(jnp.asarray(keys_pad), jnp.asarray(data_np),
