@@ -119,3 +119,31 @@ def test_v1_sparse_zeros():
     ours = jax_backend.svb_compress(data, 1, True, 1)
     ref = scalar.svb_compress(data, 1, True, 1)
     assert ours == ref
+
+
+def test_pallas_backend_v1_and_w4_routes_interpret(monkeypatch):
+    """The TPU-only v1/W4 dispatch in PallasSvbBackend, driven under
+    interpret mode (CI has no chip; the on-chip byte-parity is covered by
+    the flavors gate)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vbz_compression_tpu.models import codec as mcodec
+
+    b = mcodec.PallasSvbBackend()
+    monkeypatch.setattr(b, "_pallas_ok", lambda: True)
+    rng = np.random.default_rng(8)
+    cases = [
+        (np.clip(np.cumsum(rng.normal(0, 3, 16384)), -100,
+                 100).astype(np.int8), 1, True, 1),       # v1 zz8
+        (rng.integers(0, 120, 16384, dtype=np.int8), 1, False, 1),
+        (np.cumsum(rng.integers(-2000, 2000, 16384)).astype(np.int32),
+         4, True, 0),                                      # W4 zz32
+        (rng.integers(-2000, 2000, 16384).astype(np.int16), 2, False, 0),
+    ]
+    for sig, isz, zz, ver in cases:
+        with pltpu.force_tpu_interpret_mode():
+            st = b.svb_compress(sig, isz, zz, ver)
+            assert st == scalar.svb_compress(sig, isz, zz, ver)
+            out = b.svb_decompress(np.frombuffer(st, np.uint8), sig.size,
+                                   isz, zz, ver)
+        np.testing.assert_array_equal(out, sig)

@@ -290,7 +290,10 @@ def _ext_bytes(slack: int) -> int:
 
 def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
                            split_meta: bool = False, bpr: int = 0,
-                           stride: int = 0, grid2d: bool = False):
+                           stride: int = 0, grid2d: bool = False,
+                           enc_small: bool = True):
+    # ``enc_small=False`` restores the r4 single-array grouped routing
+    # (measurement hook for tools A/Bs).
     """``bpr``/``stride``: blocks per row and per-row data-region length
     (bytes, an AG multiple) for BATCHED grids — the grid walks rows
     back-to-back and per-row state (offset, previous sample, carry,
@@ -376,12 +379,46 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
                 pay = jnp.concatenate([v, zpad], axis=0)
                 _, routed = _route_msb(meta, d_bits, extras=[pay],
                                        d_shift=1)
-            else:
+                return (routed & 0xFF) | \
+                    ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
+
+            # Compact: the e_sum-gated stage split of _route_msb_grouped,
+            # restructured so the low-e_sum branch routes AND extracts on
+            # an RV + 8-row array (tokens move <= 15 slots when the upper
+            # group is idle) — the decode-side small-array trick applied
+            # to encode. Dead branches cost VMEM, not time (r5 probe).
+            tok = v | (1 << OCC_BIT) | (E << D_SHIFT)
+
+            def stages(chan, hi, lo):
+                for j in range(hi, lo - 1, -1):
+                    rolled = _flat_shift_right(chan, 1 << j)
+                    bit_rolled = (rolled >> (D_SHIFT + j)) & 1
+                    bit_stay = (chan >> (D_SHIFT + j)) & 1
+                    chan = jnp.where(bit_rolled == 1, rolled,
+                                     jnp.where(bit_stay == 0, chan, 0))
+                return chan
+
+            def extract(chan):
+                return (chan & 0xFF) | \
+                    ((_flat_shift_right(chan, 1) >> 8) & 0xFF)
+
+            def small(tok):
                 chan = jnp.concatenate(
-                    [v | (1 << OCC_BIT) | (E << D_SHIFT), zpad], axis=0)
-                routed = _route_msb_grouped(chan, d_bits, e_sum)
-            return (routed & 0xFF) | \
-                ((_flat_shift_right(routed, 1) >> 8) & 0xFF)
+                    [tok, jnp.zeros((8, LANES), jnp.int32)], axis=0)
+                chan = stages(chan, 3, 0)
+                return jnp.concatenate(
+                    [extract(chan),
+                     jnp.zeros((ext_rows - 8, LANES), jnp.int32)], axis=0)
+
+            def full(tok):
+                chan = jnp.concatenate([tok, zpad], axis=0)
+                chan = stages(chan, d_bits - 1, 0)
+                return extract(chan)
+
+            if not enc_small:
+                chan = jnp.concatenate([tok, zpad], axis=0)
+                return extract(_route_msb_grouped(chan, d_bits, e_sum))
+            return jax.lax.cond(e_sum >= 16, full, small, tok)
 
         def _trivial_bytes(v):
             return jnp.concatenate(
@@ -431,9 +468,11 @@ def _encode_kernel_factory(d_bits: int, flavor: str, slack: int,
     return _encode_block_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block", "flavor", "slack"))
+@functools.partial(jax.jit,
+                   static_argnames=("block", "flavor", "slack",
+                                    "enc_small"))
 def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
-              slack: int = 2048):
+              slack: int = 2048, enc_small: bool = True):
     """codec4 ``encode_w2`` with an int8 expanded data section: returns
     ``(key_bytes u8 [N//4], data i8 (one TRUE byte per element), data_len,
     overflow)``."""
@@ -455,7 +494,8 @@ def encode_w2(x: jax.Array, block: int = 32768, flavor: str = "zz16",
 
     keys, data_x, total = pl.pallas_call(
         _encode_kernel_factory(d_bits, flavor, slack,
-                               split_meta=split_meta),
+                               split_meta=split_meta,
+                               enc_small=enc_small),
         grid=(nblocks,),
         in_specs=[pl.BlockSpec((RV, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
