@@ -768,3 +768,29 @@ def test_w4_dense_all_code_boundaries():
     vals = np.array([0, 1, 255, 256, 65535, 65536, (1 << 24) - 1, 1 << 24]
                     * 256, np.int32)
     _roundtrip_w4_dense(vals, 512, "none32")
+
+
+@pytest.mark.slow
+def test_deletion_planes_random_sweep():
+    """Property sweep over random content classes for every round-5
+    deletion-compaction kernel (dense / v1 / W4): bit-exact streams vs
+    the scalar oracle and exact round trips, 8 seeds each."""
+    rng0 = np.random.default_rng(99)
+    for seed in rng0.integers(0, 1 << 30, 8):
+        rng = np.random.default_rng(seed)
+        # dense (zz16): random mix of dense and smooth segments
+        sig16 = rng.integers(-32768, 32767, 4096).astype(np.int16)
+        lo = int(rng.integers(0, 2048))
+        sig16[lo:lo + 1024] = np.clip(
+            np.cumsum(rng.normal(0, 10, 1024)), -2000, 2000)
+        _roundtrip_dense(sig16, 512)
+        # v1 (int8): arbitrary bytes + zero runs
+        sig8 = rng.integers(-128, 128, 2048).astype(np.int8)
+        sig8[: int(rng.integers(0, 1024))] = 0
+        _roundtrip_v1(sig8, 512, "zz8")
+        _roundtrip_v1(sig8, 512, "none8")
+        # W4: values spanning all code widths
+        mag = rng.choice([7, 200, 60_000, 1 << 25], 2048)
+        sig32 = (rng.integers(-1, 2, 2048) * mag).astype(np.int32)
+        _roundtrip_w4_dense(sig32, 512, "none32")
+        _roundtrip_w4_dense(np.cumsum(sig32).astype(np.int32), 512, "zz32")
