@@ -775,6 +775,11 @@ def test_deletion_planes_random_sweep():
     """Property sweep over random content classes for every round-5
     deletion-compaction kernel (dense / v1 / W4): bit-exact streams vs
     the scalar oracle and exact round trips, 8 seeds each."""
+    # Interpret-mode pallas graphs are huge; compiling them on top of a
+    # full session's worth of live executables segfaulted XLA's CPU
+    # compiler in the combined quick+slow run (fine in isolation) —
+    # start from a clean compilation cache.
+    jax.clear_caches()
     rng0 = np.random.default_rng(99)
     for seed in rng0.integers(0, 1 << 30, 8):
         rng = np.random.default_rng(seed)
